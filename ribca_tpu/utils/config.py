@@ -1,0 +1,107 @@
+"""Unified run configuration.
+
+The reference exposes the same hyperparameters through three surfaces with
+identical semantics (argparse in ``main.py:56-112``, magicgui fields in
+``_widget.py:124-158,505-539``, and JSON files ``hyperparameters.json`` /
+``hyperparams{,_batch}.json``). Here there is ONE dataclass; the CLI and
+the JSON job API are thin adapters over it.
+
+Names and defaults follow the reference CLI (``main.py:56-112``) and the
+example ``hyperparameters.json``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional
+
+from ribca_tpu.panels.vocab import CELL_TYPES
+
+
+def default_cell_type_confidence() -> dict[str, float]:
+    """All-(-1) per-type threshold map (reference ``model.py:162-167``)."""
+    return {name: -1 for name in CELL_TYPES}
+
+
+@dataclasses.dataclass
+class AnnotatorConfig:
+    # inputs
+    marker_file: str = ""
+    image_path: Optional[str] = None   # single-image mode
+    mask_path: Optional[str] = None
+    csv_file: Optional[str] = None     # batch mode: csv with image_path,mask_path
+
+    # run identity / placement
+    device: str = "tpu"                # "tpu" | "cpu" (jax platform hint)
+    main_dir: str = "./"
+    batch_id: str = ""
+
+    # pipeline knobs (reference names & defaults)
+    batch_size: int = 128              # main.py:88-89
+    strict: bool = False               # main.py:70-71 (store_true)
+    infer: bool = True                 # main.py:72-73
+    normalize: bool = True             # main.py:78-79
+    blur: float = 0.3                  # main.py:80-81
+    upper_limit: float = 99.8          # "amax"; main.py:82-83
+    confidence: float = 0.3            # main.py:84-85
+    cell_size: int = 30                # main.py:90-91
+    min_cells: int = -1                # main.py:74-75
+    n_regions: int = 3                 # main.py:76-77
+    n_jobs: int = 0                    # main.py:92-93
+    cell_type_confidence: Optional[dict] = None
+
+    # TPU-native extensions (absent from the reference)
+    dtype: str = "bfloat16"            # compute dtype of the model ensemble
+    prefetch_depth: int = 2            # host->device double buffering
+    data_parallel: bool = True         # shard the cell axis over all chips
+    use_native_scanner: bool = True    # C++ mask scanner when built
+    chunk_cells: int = 65536           # cells per device dispatch
+
+    def __post_init__(self):
+        if self.cell_type_confidence is None:
+            self.cell_type_confidence = default_cell_type_confidence()
+
+    # -- adapters -----------------------------------------------------------
+
+    @property
+    def amax(self) -> float:
+        return self.upper_limit
+
+    @classmethod
+    def from_json(cls, path: str, **overrides) -> "AnnotatorConfig":
+        """Load a reference-style hyperparameters json (single or batch)."""
+        with open(path) as f:
+            raw = json.load(f)
+        return cls.from_dict(raw, **overrides)
+
+    @classmethod
+    def from_dict(cls, raw: dict, **overrides) -> "AnnotatorConfig":
+        known = {f.name for f in dataclasses.fields(cls)}
+        kwargs = {}
+        alias = {
+            "image_file": "image_path",
+            "mask_file": "mask_path",
+            "amax": "upper_limit",
+        }
+        for key, value in raw.items():
+            key = alias.get(key, key)
+            if key in known and value is not None:
+                kwargs[key] = value
+        kwargs.update(overrides)
+        return cls(**kwargs)
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    def loggable_hyperparameters(self) -> dict:
+        """The subset the reference logs (``model.py:106-117``)."""
+        return {
+            "Batch name": self.batch_id,
+            "Strictly match panel(s)": self.strict,
+            "Normalize image(s)": self.normalize,
+            "Image blurring kernel size": self.blur,
+            "Percentile of intensity to upper clip": self.upper_limit,
+            "Confidence threshold": self.confidence,
+            "Estimated cell size (in pixels)": self.cell_size,
+        }

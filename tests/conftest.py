@@ -1,0 +1,36 @@
+"""Test bootstrap: force JAX onto a virtual 8-device CPU mesh.
+
+Multi-chip sharding is exercised without TPU hardware via
+``--xla_force_host_platform_device_count=8`` (the standard JAX way to test
+distributed code, see SURVEY §4).
+"""
+
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+@pytest.fixture
+def tmp_marker_file(tmp_path):
+    def _write(markers, name="markers.txt"):
+        p = tmp_path / name
+        p.write_text("\n".join(markers) + "\n")
+        return str(p)
+
+    return _write
