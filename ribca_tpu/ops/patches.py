@@ -1,0 +1,192 @@
+"""Fused per-cell patch extraction on device.
+
+Replaces the reference's per-cell Python loop (preprocess.py:76-151 +
+utils.py:226-270) — crop, soft-mask, rescale, average-intensity, channel
+selection — with one jitted XLA program over a fixed-size chunk of cells:
+
+  1. window: centroid = midpoint of the row/col bbox extents
+     (utils.py:227-235), clamped to the image, zero-padded bottom/right;
+  2. soft mask: mean of {cell mask, dilations disk(1..4), gaussians of the
+     dilations} normalized to max 1 (utils.py:255-270), as batched convs;
+  3. marker patch = zeroed image * soft mask + per-channel min
+     (utils.py:246-247);
+  4. per-cell per-channel mean over ALL cell pixels in the window
+     (mask_patch > 0, not just the center cell — utils.py:249-253);
+  5. nearest resize with anti-aliasing to 40x40 (preprocess.py:106,
+     skimage semantics: AA sigma=(f-1)/2 mirror-padded, ndi.zoom
+     grid_mode=True order=0);
+  6. per-panel channel gather with the blank(-1) insertion quirk
+     (preprocess.py:110-121): only the FIRST missing marker becomes a
+     blank channel; further -1 indices select the LAST image channel
+     (numpy negative indexing) — replicated faithfully.
+
+Unlike the reference, the full-channel patch is computed once per cell and
+every panel reuses it via a cheap gather (the reference re-crops per panel).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ribca_tpu.ops.gaussian import gaussian_blur
+
+OUT_SIZE = 40
+SMOOTH_EPS = 1e-6
+
+
+def disk_footprint(radius: int) -> np.ndarray:
+    """skimage.morphology.disk-compatible L2 ball footprint."""
+    y, x = np.mgrid[-radius : radius + 1, -radius : radius + 1]
+    return ((x**2 + y**2) <= radius**2).astype(np.float32)
+
+
+# -- panel channel gather ----------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class PanelGather:
+    gather_idx: tuple[int, ...]  # source channel per output slot
+    blank: tuple[bool, ...]      # True where the slot is the -1 blank fill
+    missing_positions: tuple[int, ...]  # panel slots whose marker is missing
+
+
+def build_panel_gather(channel_index, n_channels: int) -> PanelGather:
+    """Replicates preprocess.py:110-121 channel selection semantics."""
+    ci = [int(v) for v in channel_index]
+    missing = tuple(k for k, v in enumerate(ci) if v == -1)
+    if -1 in ci:
+        first = ci.index(-1)
+        gather, blank = [], []
+        for k, v in enumerate(ci):
+            if k == first:
+                gather.append(0)
+                blank.append(True)
+            else:
+                gather.append(v if v != -1 else n_channels - 1)
+                blank.append(False)
+        return PanelGather(tuple(gather), tuple(blank), missing)
+    return PanelGather(tuple(ci), tuple(False for _ in ci), missing)
+
+
+def apply_panel_gather(patches: jnp.ndarray, pg: PanelGather) -> jnp.ndarray:
+    """(N, C, H, W) full-channel patches -> (N, K, H, W) panel patches."""
+    sel = patches[:, np.asarray(pg.gather_idx)]
+    if any(pg.blank):
+        blank = jnp.asarray(pg.blank)[None, :, None, None]
+        sel = jnp.where(blank, -1.0, sel)
+    return sel
+
+
+# -- window gather -----------------------------------------------------------
+
+
+def _gather_windows(img_zero, mask, rmin, rmax, cmin, cmax, patch_size, offset):
+    h, w = mask.shape
+
+    def one(rmn, rmx, cmn, cmx):
+        x_mean = (rmn + rmx) // 2
+        y_mean = (cmn + cmx) // 2
+        xmin = jnp.maximum(x_mean - offset, 0)
+        ymin = jnp.maximum(y_mean - offset, 0)
+        rows = xmin + jnp.arange(patch_size)
+        cols = ymin + jnp.arange(patch_size)
+        vr = rows < h
+        vc = cols < w
+        rc = jnp.where(vr, rows, 0)
+        cc = jnp.where(vc, cols, 0)
+        ip = img_zero[:, rc][:, :, cc]
+        mp = mask[rc][:, cc]
+        valid = vr[:, None] & vc[None, :]
+        return ip * valid[None], jnp.where(valid, mp, 0)
+
+    return jax.vmap(one)(rmin, rmax, cmin, cmax)
+
+
+# -- soft mask ---------------------------------------------------------------
+
+
+def _soft_mask(cm: jnp.ndarray) -> jnp.ndarray:
+    """utils.py:255-270 as batched convs. cm: (N, P, P) binary f32."""
+    terms = cm
+    count = 1
+    x = cm[:, None]  # NCHW with C=1
+    for j in range(1, 5):
+        k = jnp.asarray(disk_footprint(j))[None, None]
+        dil = jax.lax.conv_general_dilated(
+            x, k, (1, 1), [(j, j), (j, j)],
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        )
+        dil = (dil > 0).astype(jnp.float32)
+        terms = terms + dil[:, 0]
+        count += 1
+        for i in range(j - 1):
+            terms = terms + gaussian_blur(dil[:, 0], 1.0 + i, mode="nearest")
+            count += 1
+    sm = terms / count
+    sm = sm / (jnp.max(sm, axis=(1, 2), keepdims=True) + SMOOTH_EPS)
+    return sm
+
+
+# -- resize --------------------------------------------------------------
+
+
+def _resize_nearest_aa(x: jnp.ndarray, in_size: int, out_size: int):
+    """skimage.transform.resize(order=0, anti_aliasing=True) over the two
+    trailing axes: gaussian AA prefilter (mirror pad) + grid-mode nearest."""
+    if in_size == out_size:
+        return x
+    factor = in_size / out_size
+    sigma = max(0.0, (factor - 1) / 2)
+    if sigma > 0:
+        x = gaussian_blur(x, sigma, mode="mirror")
+    idx = np.floor((np.arange(out_size) + 0.5) * factor).astype(np.int32)
+    idx = np.clip(idx, 0, in_size - 1)
+    return x[..., idx, :][..., :, idx]
+
+
+# -- main kernel ---------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("patch_size", "out_size"))
+def extract_patches(
+    img_zero: jnp.ndarray,   # (C, H, W) f32, channel-min already subtracted
+    min_val: jnp.ndarray,    # (C,) per-channel minima
+    mask: jnp.ndarray,       # (H, W) int32
+    cell_ids: jnp.ndarray,   # (N,) int32 cell ids of this chunk
+    rmin: jnp.ndarray, rmax: jnp.ndarray,
+    cmin: jnp.ndarray, cmax: jnp.ndarray,
+    patch_size: int = 40,
+    out_size: int = OUT_SIZE,
+):
+    """Returns (patches (N,C,out,out) f32, avg_int (N,C) f32)."""
+    p = int(patch_size)
+    # int(max(x_mean - P/2, 0)): floor for positive values -> ceil(P/2) offset
+    # when P is odd, P//2 when even
+    offset = p // 2 if p % 2 == 0 else (p + 1) // 2
+
+    ip, mp = _gather_windows(
+        img_zero, mask, rmin, rmax, cmin, cmax, p, offset
+    )
+    cm = (mp == cell_ids[:, None, None]).astype(jnp.float32)
+    sm = _soft_mask(cm)
+
+    marker = ip * sm[:, None] + min_val[None, :, None, None]
+
+    anym = (mp > 0).astype(jnp.float32)
+    denom = jnp.maximum(anym.sum(axis=(1, 2)), 1.0)
+    avg_int = (marker * anym[:, None]).sum(axis=(2, 3)) / denom[:, None]
+
+    out = _resize_nearest_aa(marker, p, out_size)
+    return out, avg_int
+
+
+def make_patch_extractor(patch_size: int, out_size: int = OUT_SIZE):
+    """Pre-bound extractor (jit cache key is fixed by the static sizes)."""
+    return functools.partial(
+        extract_patches, patch_size=patch_size, out_size=out_size
+    )
