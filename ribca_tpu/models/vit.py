@@ -1,0 +1,159 @@
+"""Flax Vision Transformer classifier family.
+
+Architecture contract (reference model.py:31-88, timm semantics):
+  * patch_embed Conv k=4 s=4 over 40x40 -> 100 tokens + cls, learned
+    pos_embed over 101 positions;
+  * 12 pre-norm blocks: x + attn(norm1(x)), x + mlp(norm2(x)); fused qkv
+    with bias; 12 heads; exact (erf) GELU; LayerNorm eps 1e-6;
+  * logits = head(norm(tokens)[:, 0]).
+
+Widths: tiny=144, s=288, m=384, l=576 (model.py:66-88). All matmuls accept
+a compute dtype (bf16 on TPU for speed; f32 for parity tests); LayerNorm
+and softmax stay f32.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ribca_tpu.panels.vocab import PANEL_MODEL_SPECS
+
+Dtype = Any
+
+
+class Attention(nn.Module):
+    dim: int
+    num_heads: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, l, d = x.shape
+        head_dim = self.dim // self.num_heads
+        scale = head_dim**-0.5
+        qkv = nn.Dense(3 * self.dim, use_bias=True, dtype=self.dtype,
+                       name="qkv")(x)
+        qkv = qkv.reshape(b, l, 3, self.num_heads, head_dim)
+        q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+        attn = (q * scale) @ k.transpose(0, 1, 3, 2)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(
+            self.dtype
+        )
+        x = (attn @ v).transpose(0, 2, 1, 3).reshape(b, l, d)
+        return nn.Dense(self.dim, use_bias=True, dtype=self.dtype,
+                        name="proj")(x)
+
+
+class Mlp(nn.Module):
+    dim: int
+    hidden: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)  # timm nn.GELU is the erf form
+        return nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
+
+
+class Block(nn.Module):
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
+        x = x + Attention(self.dim, self.num_heads, dtype=self.dtype,
+                          name="attn")(y.astype(self.dtype))
+        y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)
+        x = x + Mlp(self.dim, int(self.dim * self.mlp_ratio),
+                    dtype=self.dtype, name="mlp")(y.astype(self.dtype))
+        return x
+
+
+class VisionTransformer(nn.Module):
+    in_chans: int
+    num_classes: int
+    embed_dim: int
+    img_size: int = 40
+    patch_size: int = 4
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        """x: (B, C, H, W) float; returns logits (B, num_classes) f32."""
+        b = x.shape[0]
+        p = self.patch_size
+        grid = self.img_size // p
+
+        x = x.transpose(0, 2, 3, 1).astype(self.dtype)  # NHWC
+        x = nn.Conv(
+            self.embed_dim, (p, p), strides=(p, p), padding="VALID",
+            dtype=self.dtype, name="patch_embed",
+        )(x)
+        x = x.reshape(b, grid * grid, self.embed_dim)
+
+        cls = self.param(
+            "cls_token", nn.initializers.zeros, (1, 1, self.embed_dim)
+        )
+        pos = self.param(
+            "pos_embed",
+            nn.initializers.truncated_normal(stddev=0.02),
+            (1, grid * grid + 1, self.embed_dim),
+        )
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls, (b, 1, self.embed_dim)).astype(x.dtype), x],
+            axis=1,
+        )
+        x = x + pos.astype(x.dtype)
+
+        for i in range(self.depth):
+            x = Block(self.embed_dim, self.num_heads, self.mlp_ratio,
+                      dtype=self.dtype, name=f"blocks_{i}")(x)
+
+        x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm")(x)
+        x = x[:, 0]
+        return nn.Dense(self.num_classes, dtype=jnp.float32, name="head")(x)
+
+
+def vit_tiny(**kw) -> VisionTransformer:
+    return VisionTransformer(embed_dim=144, **kw)
+
+
+def vit_s(**kw) -> VisionTransformer:
+    return VisionTransformer(embed_dim=288, **kw)
+
+
+def vit_m(**kw) -> VisionTransformer:
+    return VisionTransformer(embed_dim=384, **kw)
+
+
+def vit_l(**kw) -> VisionTransformer:
+    return VisionTransformer(embed_dim=576, **kw)
+
+
+ARCHS = {"vit_tiny": vit_tiny, "vit_s": vit_s, "vit_m": vit_m, "vit_l": vit_l}
+
+
+def build_panel_model(panel: str, dtype=jnp.float32) -> VisionTransformer:
+    """Classifier for a panel per the reference's load table
+    (model.py:188-239)."""
+    arch, in_chans, num_classes = PANEL_MODEL_SPECS[panel]
+    return ARCHS[arch](in_chans=in_chans, num_classes=num_classes, dtype=dtype)
+
+
+def init_params(model: nn.Module, seed: int = 0, in_shape=None):
+    if in_shape is None:
+        in_shape = (1, model.in_chans, model.img_size, model.img_size)
+    dummy = jnp.zeros(in_shape, jnp.float32)
+    return model.init(jax.random.PRNGKey(seed), dummy)["params"]
