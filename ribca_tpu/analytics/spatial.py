@@ -1,0 +1,229 @@
+"""Spatial analytics: neighborhood composition and tissue-region partition.
+
+Capability parity with the reference ``spatial_methods.py`` with the hot
+loops vectorized:
+
+* the reference issues one ``kneighbors`` query PER CELL and increments the
+  co-occurrence matrix in Python (spatial_methods.py:36-40, with a stray
+  ``print()`` per neighbor); here one batched query + ``np.add.at`` scatter
+  counts the whole image at once — identical counts, orders of magnitude
+  faster on large slides;
+* multi-scale neighborhood composition features (k in {10,20,30,50,75,
+  100,150,200}, spatial_methods.py:154-178) are built from one 200-NN
+  query as a cumulative one-hot sum sliced at each k instead of a Python
+  triple loop — identical proportions;
+* PCA(0.99) + KMeans / HDBSCAN / SpectralClustering as in
+  spatial_methods.py:185-193. The reference constructs
+  ``HDBSCAN(n_clusters=...)`` which raises with sklearn's HDBSCAN (SURVEY
+  §2 quirks); here "hdbscan" maps to ``HDBSCAN(min_cluster_size=
+  n_clusters)`` so the advertised method actually works — divergence by
+  necessity, default "kmeans" is unchanged.
+
+Coordinates are (x=mean column, y=mean row) per cell, matching
+spatial_methods.py:22-23.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+from sklearn.cluster import HDBSCAN, KMeans, SpectralClustering
+from sklearn.decomposition import PCA
+from sklearn.neighbors import NearestNeighbors
+
+MULTISCALE_KS = (10, 20, 30, 50, 75, 100, 150, 200)
+
+
+def _knn_indices(coords: np.ndarray, k: int) -> np.ndarray:
+    """Indices of the k nearest neighbors per cell, self excluded
+    (column 0 of the sklearn result, spatial_methods.py:37-38,163)."""
+    k = min(k, len(coords) - 1)
+    if k <= 0:
+        return np.zeros((len(coords), 0), dtype=np.int64)
+    nbrs = NearestNeighbors(n_neighbors=k + 1, algorithm="ball_tree").fit(
+        coords
+    )
+    _, indices = nbrs.kneighbors(coords)
+    return indices[:, 1:]
+
+
+def neighborhood_matrix(
+    mean_row: np.ndarray,
+    mean_col: np.ndarray,
+    type_ids: np.ndarray,
+    n_types: int,
+    n_neighbors: int,
+) -> np.ndarray:
+    """T x T co-occurrence counts: [i, j] += 1 for every (cell of type i,
+    neighbor of type j) pair."""
+    coords = np.stack([mean_col, mean_row], axis=1)
+    idx = _knn_indices(coords, n_neighbors - 1)  # ref passes n incl. self
+    mat = np.zeros((n_types, n_types), dtype=np.float64)
+    if idx.size:
+        src = np.repeat(type_ids, idx.shape[1])
+        dst = type_ids[idx.reshape(-1)]
+        np.add.at(mat, (src, dst), 1.0)
+    return mat
+
+
+def _row_normalize(mat: np.ndarray) -> np.ndarray:
+    sums = mat.sum(axis=1, keepdims=True)
+    return np.divide(mat, sums, out=mat.copy(), where=sums > 0)
+
+
+def _write_matrix_csv(path: str, mat: np.ndarray, cell_types) -> None:
+    """Reference CSV layout (spatial_methods.py:59-70): header row of type
+    names, one row per type, trailing commas included."""
+    with open(path, "w") as f:
+        f.write("cell_type,")
+        for name in cell_types:
+            f.write(f"{name},")
+        f.write("\n")
+        for i, name in enumerate(cell_types):
+            f.write(f"{name},")
+            for j in range(len(cell_types)):
+                f.write(f"{mat[i][j]:.3f},")
+            f.write("\n")
+
+
+def _plot_matrix(path: str, mat: np.ndarray, cell_types, title: str) -> None:
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import seaborn as sns
+
+    fig = plt.figure()
+    ax = fig.add_subplot(111)
+    ax.set_title(title)
+    sns.heatmap(mat, xticklabels=cell_types, yticklabels=cell_types,
+                cmap="vlag", linewidth=0.5)
+    plt.xticks(rotation=60)
+    plt.tight_layout()
+    plt.savefig(path)
+    plt.close()
+
+
+def neighborhood_analysis(
+    images,
+    cell_types,
+    n_neighbors: int = 10,
+    integrate: bool = False,
+    normalize: bool = True,
+    result_dir: str = ".",
+    batch_id: str = "",
+):
+    """images: list of dicts with keys mean_row, mean_col, type_ids.
+
+    Writes <batch>_integrated_neighborhood.{png,csv} or per-image
+    <batch>_neighborhood_<i>.{png,csv}; returns the matrices."""
+    t = len(cell_types)
+    if integrate:
+        mat = np.zeros((t, t), dtype=np.float64)
+        for im in images:
+            mat += neighborhood_matrix(
+                im["mean_row"], im["mean_col"], im["type_ids"], t,
+                n_neighbors,
+            )
+        if normalize:
+            mat = _row_normalize(mat)
+        _plot_matrix(
+            os.path.join(result_dir, f"{batch_id}_integrated_neighborhood.png"),
+            mat, cell_types, "Integrated neighborhood analysis",
+        )
+        _write_matrix_csv(
+            os.path.join(result_dir, f"{batch_id}_integrated_neighborhood.csv"),
+            mat, cell_types,
+        )
+        return [mat]
+
+    mats = []
+    for i, im in enumerate(images):
+        mat = neighborhood_matrix(
+            im["mean_row"], im["mean_col"], im["type_ids"], t, n_neighbors
+        )
+        if normalize:
+            mat = _row_normalize(mat)
+        _plot_matrix(
+            os.path.join(result_dir, f"{batch_id}_neighborhood_{i}.png"),
+            mat, cell_types, f"Neighborhood analysis {i}",
+        )
+        _write_matrix_csv(
+            os.path.join(result_dir, f"{batch_id}_neighborhood_{i}.csv"),
+            mat, cell_types,
+        )
+        mats.append(mat)
+    return mats
+
+
+def multiscale_composition(
+    mean_row: np.ndarray,
+    mean_col: np.ndarray,
+    type_ids: np.ndarray,
+    n_types: int,
+    ks=MULTISCALE_KS,
+) -> np.ndarray:
+    """(N, len(ks)*n_types) neighborhood type-composition features.
+
+    One 200-NN query; per-k proportions come from a cumulative sum of the
+    neighbor one-hots sliced at each k (equals spatial_methods.py:154-178)."""
+    coords = np.stack([mean_col, mean_row], axis=1)
+    kmax = min(max(ks), len(coords) - 1)
+    idx = _knn_indices(coords, kmax)
+    n = len(coords)
+    onehot = np.zeros((n, kmax, n_types), dtype=np.float32)
+    if idx.size:
+        rows = np.repeat(np.arange(n), idx.shape[1])
+        cols = np.tile(np.arange(idx.shape[1]), n)
+        onehot[rows, cols, type_ids[idx.reshape(-1)]] = 1.0
+    cum = np.cumsum(onehot, axis=1)
+    feats = []
+    for k in ks:
+        kk = min(k, kmax)
+        counts = cum[:, kk - 1] if kk >= 1 else np.zeros((n, n_types))
+        total = counts.sum(axis=1, keepdims=True)
+        feats.append(np.divide(counts, total, where=total > 0))
+    return np.concatenate(feats, axis=1)
+
+
+def tissue_region_partition(
+    images,
+    n_clusters: int = 3,
+    n_jobs: int = 0,
+    method: str = "kmeans",
+    seed: int | None = None,
+):
+    """Per image: multi-scale composition -> PCA(0.99) -> clustering.
+
+    Returns a list of {cell_id: region_label} dicts (one per image)."""
+    out = []
+    for im in images:
+        type_ids = np.asarray(im["type_ids"], dtype=np.int64)
+        n_types = int(type_ids.max()) + 1 if len(type_ids) else 1
+        feats = multiscale_composition(
+            im["mean_row"], im["mean_col"], type_ids, n_types
+        )
+        if len(feats) > 1:
+            pca = PCA(n_components=0.99)
+            feats = pca.fit_transform(feats)
+        jobs = n_jobs if n_jobs and n_jobs > 0 else None
+        if method == "kmeans":
+            clusterer = KMeans(
+                n_clusters=min(n_clusters, max(len(feats), 1)),
+                random_state=seed,
+            )
+        elif method == "hdbscan":
+            clusterer = HDBSCAN(min_cluster_size=max(int(n_clusters), 2))
+        elif method == "spectral":
+            clusterer = SpectralClustering(
+                n_clusters=n_clusters, n_jobs=jobs, random_state=seed
+            )
+        else:
+            raise ValueError(f"unknown method {method}")
+        labels = clusterer.fit_predict(feats)
+        out.append({
+            int(cid): int(lab)
+            for cid, lab in zip(im["cell_ids"], labels)
+        })
+    return out

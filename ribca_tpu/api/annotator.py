@@ -1,0 +1,469 @@
+"""Annotator facade — the reference's public surface on the TPU pipeline.
+
+Method-level parity with the reference Annotator (model.py:90-919):
+``preprocess() predict(bs) generate_heatmap() export_annotations()
+tissue_region_analysis(n) neighborhood_analysis() colorize()
+cell_type_composition() umap_visualization() get_cell_type_names()
+clear() clear_tmp()`` plus the attributes downstream code reads
+(``channel_parser``, ``cell_types``, ``colors``, ``annotations``,
+``confidence``, ``intensity_full``, ``tissue_regions``).
+
+Internal dataflow is redesigned (SURVEY §7): preprocessing, patching,
+imputation, and all five classifier heads run as fused XLA programs on the
+device mesh (engine/), so ``preprocess()`` only resolves the manifest and
+``predict()`` streams each image end-to-end — no tmp ``.pt`` files; the
+``tmp/`` dir is still created and cleaned for workflow parity.
+
+The canonical post-run ordering is the GUI flow (gui_api.py:13-43):
+region analysis BEFORE export, so the CSV's Tissue Region column is
+populated (the reference CLI orders these the other way and always writes
+``None`` — SURVEY §3.1).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from ribca_tpu.analytics import (
+    find_extra_cell_types,
+    neighborhood_analysis,
+    tissue_region_partition,
+)
+from ribca_tpu.engine.ensemble import EnsembleRunner
+from ribca_tpu.engine.pipeline import run_image
+from ribca_tpu.engine.voting import PanelProbs, merge_by_voting
+from ribca_tpu.io import read_image, read_mask, read_manifest
+from ribca_tpu.models.registry import ModelRegistry
+from ribca_tpu.outputs import (
+    color_legend,
+    colorize_image,
+    export_annotations_csv,
+    get_colors,
+    rgb_to_hex,
+)
+from ribca_tpu.outputs.plots import composition_pie, marker_heatmap, umap_scatter
+from ribca_tpu.panels.parser import MarkerParser
+from ribca_tpu.parallel.mesh import get_mesh
+from ribca_tpu.utils.config import AnnotatorConfig
+from ribca_tpu.utils.logging import Logger
+
+
+class Annotator:
+    def __init__(
+        self,
+        config: AnnotatorConfig | None = None,
+        models_dir: str | None = None,
+        mesh=None,
+        **overrides,
+    ):
+        if config is None:
+            config = AnnotatorConfig(**overrides)
+        elif overrides:
+            config = AnnotatorConfig(**{**config.to_dict(), **overrides})
+        self.config = config
+
+        self.main_dir = config.main_dir
+        self.batch_id = config.batch_id
+        self.result_dir = os.path.join(self.main_dir, "results")
+        self.temp_dir = os.path.join(self.main_dir, "tmp")
+        os.makedirs(self.result_dir, exist_ok=True)
+        os.makedirs(self.temp_dir, exist_ok=True)
+
+        self.logger = Logger(self.main_dir)
+        self.logger.log_all_hyperparameters(
+            config.loggable_hyperparameters()
+        )
+        self.logger.log("")
+        self.logger.log("Start parsing the marker list.")
+
+        self.channel_parser = MarkerParser(
+            strict=config.strict, logger=self.logger
+        )
+        self.channel_parser.parse(config.marker_file)
+
+        self.registry = ModelRegistry(models_dir, logger=self.logger)
+        self.mesh = mesh if mesh is not None else get_mesh()
+
+        self.confidence_thresh = config.confidence
+        self.cell_type_confidence = dict(config.cell_type_confidence)
+        self.min_cells = config.min_cells
+        self.extra_cell_types = self.min_cells > 0
+        self.n_regions = 0
+        self.n_jobs = config.n_jobs
+
+        # per-image state (filled by preprocess/predict)
+        self._image_paths: list[str] = []
+        self._mask_paths: list[str] = []
+        self.records = []                  # engine.pipeline.ImageRecord
+        self.annotations: list[list[str]] = []
+        self.confidence: list[np.ndarray] = []
+        self.annotations_all: list[list[dict]] = []
+        self.cell_types = np.array([], dtype=object)
+        self.colors: list = []
+        self.tissue_regions: list[dict] | None = None
+        self._runner = None
+
+    # -- reference-shape constructor ----------------------------------------
+
+    @classmethod
+    def from_reference_args(
+        cls, marker_list_path, image_path, device, main_dir="./",
+        batch_id="", strict=True, infer=True, min_cells=-1, normalize=True,
+        blur=0.0, amax=1.0, confidence=0.25, cell_size=30,
+        cell_type_confidence=None, n_jobs=0, **kw,
+    ) -> "Annotator":
+        """Positional compatibility with the reference ctor (model.py:94)."""
+        cfg = AnnotatorConfig(
+            marker_file=marker_list_path, csv_file=image_path, device=device,
+            main_dir=main_dir, batch_id=batch_id, strict=strict, infer=infer,
+            min_cells=min_cells, normalize=normalize, blur=blur or 0.0,
+            upper_limit=amax, confidence=confidence, cell_size=cell_size,
+            cell_type_confidence=cell_type_confidence, n_jobs=n_jobs,
+        )
+        return cls(cfg, **kw)
+
+    # -- pipeline -----------------------------------------------------------
+
+    @property
+    def intensity_full(self) -> list[np.ndarray]:
+        return [r.intensity_full for r in self.records]
+
+    @property
+    def masks(self) -> list[np.ndarray]:
+        return [r.mask for r in self.records]
+
+    @property
+    def _n_images(self) -> int:
+        return len(self._image_paths)
+
+    def preprocess(self) -> None:
+        """Resolve the image/mask manifest. Device work happens in
+        predict() — each image streams through preprocessing + ensemble in
+        one pass without touching disk."""
+        cfg = self.config
+        if cfg.csv_file:
+            pairs = read_manifest(cfg.csv_file)
+            self._image_paths = [p for p, _ in pairs]
+            self._mask_paths = [m for _, m in pairs]
+        elif cfg.image_path and cfg.mask_path:
+            self._image_paths = [cfg.image_path]
+            self._mask_paths = [cfg.mask_path]
+        else:
+            raise ValueError(
+                "Provide csv_file or image_path+mask_path in the config"
+            )
+        self.logger.log("\n")
+        self.logger.log("Starting image processing...")
+
+    def _ensure_runner(self) -> EnsembleRunner:
+        if self._runner is None:
+            if not self.channel_parser.any_panel:
+                raise ValueError(
+                    "No panels are applied. Please check the marker list."
+                )
+            # n_channels from the marker list length
+            self._runner = EnsembleRunner(
+                self.channel_parser,
+                self.registry,
+                n_channels=self.channel_parser.n_markers,
+                infer=self.config.infer,
+                dtype=_dtype_from_name(self.config.dtype),
+                mesh=self.mesh,
+                logger=self.logger,
+            )
+        return self._runner
+
+    def predict(self, batch_size: int | None = None) -> None:
+        """Stream every image through the fused device pipeline, then merge
+        votes exactly as model.py:481-639."""
+        self.logger.log("\nStart predicting cell types and tissue structures.")
+        runner = self._ensure_runner()
+        cfg = self.config
+        if batch_size:
+            # reference bs semantics: device sub-batch size; our chunk size
+            cfg = AnnotatorConfig(**{
+                **cfg.to_dict(), "chunk_cells": max(int(batch_size), 1)
+            })
+
+        if not self._image_paths:
+            self.preprocess()
+
+        self.records = []
+        for img_path, mask_path in zip(self._image_paths, self._mask_paths):
+            image = read_image(img_path)
+            mask = read_mask(mask_path)
+            record = run_image(image, mask, cfg, runner)
+            self.records.append(record)
+            self.logger.log(
+                f"Processed {os.path.basename(img_path)}: "
+                f"{record.n_cells} cells"
+            )
+        self.logger.log("Finished predicting cell types and tissue structures.")
+
+        self.merge_by_voting()
+
+        # unique types, Others forced last (model.py:455-458)
+        uniq = set()
+        for labels in self.annotations:
+            uniq.update(labels)
+        cts = np.sort(np.array(list(uniq)))
+        cts = np.delete(cts, np.where(cts == "Others"))
+        self.cell_types = np.append(cts, "Others")
+        self.colors = get_colors(len(self.cell_types))
+        color_legend(
+            self.result_dir,
+            {
+                str(self.cell_types[i]): rgb_to_hex(self.colors[i])
+                for i in range(len(self.cell_types))
+            },
+        )
+        self._build_annotations_all()
+
+    def merge_by_voting(self) -> None:
+        self.annotations, self.confidence = [], []
+        for rec in self.records:
+            immune = structure = nerve = None
+            for panel, probs in rec.panel_probs.items():
+                pp = PanelProbs(panel, probs)
+                if panel.startswith("immune"):
+                    immune = pp
+                elif panel == "structure":
+                    structure = pp
+                elif panel == "nerve_cell":
+                    nerve = pp
+            labels, conf = merge_by_voting(
+                immune, structure, nerve,
+                self.confidence_thresh, self.cell_type_confidence,
+            )
+            self.annotations.append(labels)
+            self.confidence.append(conf)
+
+        if self.extra_cell_types:
+            find_extra_cell_types(
+                self.annotations, self.confidence, self.intensity_full,
+                min_cells=self.min_cells, logger=self.logger,
+            )
+
+    def _type_index(self) -> dict:
+        return {str(t): i for i, t in enumerate(self.cell_types)}
+
+    def _build_annotations_all(self) -> None:
+        tindex = self._type_index()
+        self.annotations_all = []
+        for i, rec in enumerate(self.records):
+            rows = []
+            for j, cid in enumerate(rec.cell_ids):
+                rows.append({
+                    "Cell ID": int(cid),
+                    "Cell type": tindex[self.annotations[i][j]],
+                    "Confidence": float(self.confidence[i][j]),
+                    "Row": float(rec.mean_row[j]),
+                    "Column": float(rec.mean_col[j]),
+                })
+            self.annotations_all.append(rows)
+
+    # -- analytics ----------------------------------------------------------
+
+    def _analytics_images(self) -> list[dict]:
+        tindex = self._type_index()
+        out = []
+        for i, rec in enumerate(self.records):
+            out.append({
+                "cell_ids": rec.cell_ids,
+                "mean_row": rec.mean_row,
+                "mean_col": rec.mean_col,
+                "type_ids": np.asarray(
+                    [tindex[lab] for lab in self.annotations[i]],
+                    dtype=np.int64,
+                ),
+            })
+        return out
+
+    def neighborhood_analysis(
+        self, n_neighbors: int = 25, integrate: bool = True,
+        normalize: bool = True,
+    ):
+        """Reference default n_neighbors=25 via model.py:798."""
+        return neighborhood_analysis(
+            self._analytics_images(), self.cell_types,
+            n_neighbors=n_neighbors, integrate=integrate,
+            normalize=normalize, result_dir=self.result_dir,
+            batch_id=self.batch_id,
+        )
+
+    def tissue_region_analysis(self, n: int, method: str = "kmeans"):
+        self.n_regions = n
+        self.tissue_regions = tissue_region_partition(
+            self._analytics_images(), n, self.n_jobs, method=method
+        )
+        return self.tissue_regions
+
+    # -- outputs ------------------------------------------------------------
+
+    def generate_heatmap(self, integrate: bool = False) -> None:
+        if not self.annotations:
+            raise ValueError("No annotations to generate heatmap")
+        markers = self.channel_parser.markers
+        if integrate:
+            labels = [x for lab in self.annotations for x in lab]
+            intensity = np.concatenate(self.intensity_full, axis=0)
+            marker_heatmap(
+                os.path.join(
+                    self.result_dir, f"{self.batch_id}_Integrated_heatmap.png"
+                ),
+                labels, intensity, markers,
+            )
+        else:
+            for i in range(len(self.annotations)):
+                marker_heatmap(
+                    os.path.join(
+                        self.result_dir, f"{self.batch_id}_heatmap_{i}.png"
+                    ),
+                    self.annotations[i], self.intensity_full[i], markers,
+                )
+
+    def umap_visualization(self) -> None:
+        if not self.annotations:
+            raise ValueError("No annotations to visualize")
+        intensity = np.concatenate(self.intensity_full, axis=0)
+        labels = [x for lab in self.annotations for x in lab]
+        umap_scatter(
+            os.path.join(self.result_dir, f"{self.batch_id}_umap.png"),
+            intensity, labels, self.cell_types, self.colors,
+            logger=self.logger,
+        )
+
+    def export_annotations(self) -> None:
+        if not self.annotations:
+            raise ValueError("No annotations to export")
+        for i, rec in enumerate(self.records):
+            path = os.path.join(
+                self.result_dir, f"{self.batch_id}_annotation_{i}.csv"
+            )
+            export_annotations_csv(
+                path, rec.cell_ids, self.annotations[i], self.confidence[i],
+                rec.mean_row, rec.mean_col,
+                self.tissue_regions[i]
+                if self.tissue_regions is not None else None,
+            )
+            self.logger.log(f"Exported annotations for image {i} to {path}")
+
+    def colorize(self, from_script: bool = True,
+                 working_dir: str | None = None) -> None:
+        """Write colorized cell-type / confidence / tissue maps
+        (model.py:806-858). ``from_script=False`` additionally writes the
+        GUI label maps into ``working_dir`` (default
+        <main_dir>/_working_dir_temp)."""
+        from PIL import Image
+
+        if not self.records:
+            raise ValueError("No masks to colorize")
+        if not self.annotations:
+            raise ValueError("No annotations to colorize")
+        tindex = self._type_index()
+        tissue_colors = (
+            get_colors(self.n_regions + 1) if self.n_regions > 0 else None
+        )
+        if working_dir is None:
+            working_dir = os.path.join(self.main_dir, "_working_dir_temp")
+
+        for i, rec in enumerate(self.records):
+            type_ids = np.asarray(
+                [tindex[lab] for lab in self.annotations[i]], dtype=np.int64
+            )
+            maps = colorize_image(
+                rec.mask, rec.cell_ids, type_ids, self.confidence[i],
+                self.colors,
+                tissue_regions=(
+                    self.tissue_regions[i]
+                    if self.tissue_regions is not None else None
+                ),
+                tissue_colors=tissue_colors,
+            )
+            rd, bid = self.result_dir, self.batch_id
+            Image.fromarray(maps["cell_type_rgb"]).save(
+                os.path.join(rd, f"{bid}_colorized_annotation_{i}.png")
+            )
+            Image.fromarray(maps["confidence_rgb"]).save(
+                os.path.join(rd, f"{bid}_confidence_{i}.png")
+            )
+            if "tissue_rgb" in maps:
+                Image.fromarray(maps["tissue_rgb"]).save(
+                    os.path.join(rd, f"{bid}_tissue_region_{i}.png")
+                )
+            if not from_script:
+                os.makedirs(working_dir, exist_ok=True)
+                Image.fromarray(maps["cell_type_labels"]).save(
+                    os.path.join(working_dir, "output_img.png")
+                )
+                if "tissue_labels" in maps:
+                    Image.fromarray(maps["tissue_labels"]).save(
+                        os.path.join(working_dir, "output_img_2.png")
+                    )
+        if tissue_colors is not None:
+            color_legend(
+                self.result_dir,
+                {
+                    f"Region {k}": rgb_to_hex(tissue_colors[k])
+                    for k in range(len(tissue_colors))
+                },
+                cell=False,
+            )
+
+    def cell_type_composition(
+        self, reduction: bool = True, integrate: bool = False
+    ) -> None:
+        if not self.annotations:
+            raise ValueError("No annotations to analyze")
+        if integrate:
+            labels = [x for lab in self.annotations for x in lab]
+            composition_pie(
+                os.path.join(
+                    self.result_dir,
+                    f"{self.batch_id}_integrated_cell-type_composition.png",
+                ),
+                labels, self.cell_types, self.colors, reduction,
+            )
+        else:
+            for i, labels in enumerate(self.annotations):
+                composition_pie(
+                    os.path.join(
+                        self.result_dir,
+                        f"{self.batch_id}_cell-type_composition_{i}.png",
+                    ),
+                    labels, self.cell_types, self.colors, reduction,
+                )
+
+    def get_cell_type_names(self) -> str:
+        """3-per-line numbered legend text (model.py:689-697)."""
+        txt = ""
+        for i in range(len(self.cell_types)):
+            txt += f"{i + 1}: {self.cell_types[i]}"
+            txt += "\n" if i % 3 == 2 else "  "
+        return txt
+
+    def clear(self) -> None:
+        self.records = []
+        self.annotations = []
+        self.confidence = []
+        self.annotations_all = []
+
+    def clear_tmp(self) -> None:
+        if os.path.isdir(self.temp_dir):
+            for f in os.listdir(self.temp_dir):
+                os.remove(os.path.join(self.temp_dir, f))
+            os.rmdir(self.temp_dir)
+        self.logger.log("Temporary files cleared")
+
+
+def _dtype_from_name(name: str):
+    import jax.numpy as jnp
+
+    return {
+        "bfloat16": jnp.bfloat16,
+        "bf16": jnp.bfloat16,
+        "float32": jnp.float32,
+        "f32": jnp.float32,
+    }[name]

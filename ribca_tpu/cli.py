@@ -1,0 +1,151 @@
+"""Command-line front end — flag parity with the reference ``main.py``.
+
+Same flags, names, and defaults (main.py:56-112); same single-image /
+batch-CSV mode split (main.py:9-52). The post-run sequence follows the
+canonical GUI ordering (region analysis before export, gui_api.py:22-31)
+so the CSV's Tissue Region column is populated — the reference CLI runs
+export first and always writes ``None`` there (SURVEY §3.1); pass
+``--reference-ordering`` to reproduce that behavior exactly.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from ribca_tpu.api.annotator import Annotator
+from ribca_tpu.io.manifest import write_manifest
+from ribca_tpu.utils.config import AnnotatorConfig
+
+
+def _run_pipeline(annotator: Annotator, bs: int, n_regions: int,
+                  reference_ordering: bool = False):
+    annotator.preprocess()
+    annotator.predict(bs)
+    annotator.generate_heatmap(integrate=True)
+    if reference_ordering:
+        annotator.export_annotations()
+        if n_regions > 0:
+            annotator.tissue_region_analysis(n_regions)
+    else:
+        if n_regions > 0:
+            annotator.tissue_region_analysis(n_regions)
+        annotator.export_annotations()
+    annotator.neighborhood_analysis(integrate=True, normalize=True)
+    annotator.colorize(from_script=True)
+    annotator.cell_type_composition()
+    annotator.clear_tmp()
+
+
+def run(config: AnnotatorConfig, bs: int, n_regions: int,
+        reference_ordering: bool = False):
+    """Single-image mode: writes a 1-row images.csv then delegates
+    (main.py:9-36); returns ({cell_id: intensity_vector}, legend text)."""
+    csv_path = os.path.join(config.main_dir, "images.csv")
+    write_manifest([(config.image_path, config.mask_path)], csv_path)
+    config = AnnotatorConfig(**{
+        **config.to_dict(), "csv_file": csv_path,
+        "image_path": None, "mask_path": None,
+    })
+    annotator = Annotator(config)
+    if not annotator.channel_parser.any_panel:
+        raise ValueError("No panels are applied. Please check the marker list.")
+    _run_pipeline(annotator, bs, n_regions, reference_ordering)
+
+    intensity = annotator.intensity_full[0]
+    intensity_dict = {0: np.zeros_like(intensity[0])}
+    for j, cid in enumerate(annotator.records[0].cell_ids):
+        intensity_dict[int(cid)] = intensity[j]
+    names = annotator.get_cell_type_names()
+    os.remove(csv_path)
+    return intensity_dict, names
+
+
+def batch_run(config: AnnotatorConfig, bs: int, n_regions: int,
+              reference_ordering: bool = False):
+    """Batch-CSV mode (main.py:39-52)."""
+    annotator = Annotator(config)
+    if not annotator.channel_parser.any_panel:
+        raise ValueError("No panels are applied. Please check the marker list.")
+    _run_pipeline(annotator, bs, n_regions, reference_ordering)
+    return annotator
+
+
+def parse_args(argv=None) -> argparse.Namespace:
+    parser = argparse.ArgumentParser(
+        description="Process images with markers"
+    )
+    parser.add_argument("--marker-list-path", type=str, required=True)
+    parser.add_argument("--device", type=str, default="tpu",
+                        help="Device to run on (tpu/cpu)")
+    parser.add_argument("--main-dir", type=str, default="./")
+    parser.add_argument("--batch-id", type=str, required=True)
+    parser.add_argument("--strict", action="store_true")
+    parser.add_argument("--infer", action="store_true", default=True)
+    parser.add_argument("--min-cells", type=int, default=-1)
+    parser.add_argument("--n-regions", type=int, default=3)
+    parser.add_argument("--normalize", action="store_true", default=True)
+    parser.add_argument("--blur", type=float, default=0.3)
+    parser.add_argument("--amax", type=float, default=99.8)
+    parser.add_argument("--confidence", type=float, default=0.3)
+    parser.add_argument("--cell-type-confidence", type=str, default=None,
+                        help="JSON file with per-type thresholds")
+    parser.add_argument("--bs", type=int, default=128)
+    parser.add_argument("--cell-size", type=int, default=30)
+    parser.add_argument("--n_jobs", type=int, default=0)
+    parser.add_argument("--reference-ordering", action="store_true",
+                        help="Reproduce the reference CLI stage order "
+                             "(export before region analysis)")
+    group = parser.add_mutually_exclusive_group(required=True)
+    group.add_argument("--image-path", type=str)
+    group.add_argument("--batch-csv", type=str)
+    parser.add_argument("--mask-path", type=str)
+
+    args = parser.parse_args(argv)
+    if args.image_path and not args.mask_path:
+        parser.error("--mask-path is required when using --image-path")
+    return args
+
+
+def config_from_args(args: argparse.Namespace) -> AnnotatorConfig:
+    cell_type_confidence = None
+    if args.cell_type_confidence:
+        import json
+
+        with open(args.cell_type_confidence) as f:
+            cell_type_confidence = json.load(f)
+    return AnnotatorConfig(
+        marker_file=args.marker_list_path,
+        image_path=args.image_path,
+        mask_path=args.mask_path,
+        csv_file=args.batch_csv,
+        device=args.device,
+        main_dir=args.main_dir,
+        batch_id=args.batch_id,
+        strict=args.strict,
+        infer=args.infer,
+        min_cells=args.min_cells,
+        n_regions=args.n_regions,
+        normalize=args.normalize,
+        blur=args.blur,
+        upper_limit=args.amax,
+        confidence=args.confidence,
+        cell_size=args.cell_size,
+        n_jobs=args.n_jobs,
+        cell_type_confidence=cell_type_confidence,
+    )
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    config = config_from_args(args)
+    if args.batch_csv:
+        return batch_run(config, args.bs, args.n_regions,
+                         args.reference_ordering)
+    return run(config, args.bs, args.n_regions, args.reference_ordering)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,214 @@
+"""Jitted ensemble execution over fixed-shape cell chunks.
+
+The reference streams ``.pt`` patch files from disk and runs each panel's
+classifier in a separate torch loop (model.py:351-426), re-cropping patches
+per panel during preprocessing. Here the whole ensemble step for a chunk of
+cells is ONE XLA program:
+
+    full-channel patches (B, C, 40, 40)
+      -> per-panel channel gather (ops/patches.py, free inside XLA)
+      -> optional MAE imputation of missing channels (models/mae.py)
+      -> ViT forward + f32 softmax per active head
+
+so every head, the imputer, and the gathers fuse into a single dispatch per
+chunk, parameters live on device once, and the cell axis is sharded over
+the device mesh (parallel/mesh.py) with replicated weights — the TPU
+equivalent of the reference's single-GPU minibatch loop.
+
+Head selection replicates model.py:241-349: exactly one immune head (full >
+extended > base) plus structure and nerve when matched. Imputation applies
+only to immune panels with missing markers when ``infer`` is on
+(preprocess.py:268-281; the ``panel == "nerve"`` comparison there can never
+match the "nerve_cell" key, and structure is explicitly excluded).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ribca_tpu.models.mae import (
+    IMPUTER_MOSAIC,
+    build_imputer_model,
+    masking_plan,
+    tile_mosaic,
+    unpatchify,
+    untile_mosaic,
+)
+from ribca_tpu.models.vit import build_panel_model
+from ribca_tpu.ops.patches import PanelGather, apply_panel_gather, build_panel_gather
+from ribca_tpu.parallel.mesh import cell_sharding, get_mesh, replicated_sharding
+
+
+def prediction_panels(parser) -> list[str]:
+    """Panels the ensemble actually runs (model.py:241-349 elif chains)."""
+    panels = []
+    if parser.immune_full:
+        panels.append("immune_full")
+    elif parser.immune_extended:
+        panels.append("immune_extended")
+    elif parser.immune_base:
+        panels.append("immune_base")
+    if parser.struct:
+        panels.append("structure")
+    if parser.nerve:
+        panels.append("nerve_cell")
+    return panels
+
+
+@dataclasses.dataclass
+class _HeadSpec:
+    panel: str
+    gather: PanelGather
+    model: object
+    imputer: Optional[object]           # MAE model or None
+    ids_keep: Optional[jnp.ndarray]
+    ids_restore: Optional[jnp.ndarray]
+    mask_img: Optional[jnp.ndarray]     # (1, 1, Hm, Wm) pixel mask
+
+
+class EnsembleRunner:
+    """Compiles and runs the fused ensemble program for one marker parse.
+
+    Parameters stay on device across calls; chunk shape is static so the
+    program compiles once per (chunk, C) and is reused for every chunk of
+    every image in a batch run.
+    """
+
+    def __init__(
+        self,
+        parser,
+        registry,
+        n_channels: int,
+        infer: bool = True,
+        dtype=jnp.bfloat16,
+        mesh=None,
+        logger=None,
+    ):
+        self.mesh = mesh if mesh is not None else get_mesh()
+        self.dtype = dtype
+        self.logger = logger
+        self.specs: list[_HeadSpec] = []
+        self.params: dict = {}
+        self.imputer_params: dict = {}
+
+        for panel in prediction_panels(parser):
+            indices = parser.indices[panel]
+            gather = build_panel_gather(indices, n_channels)
+            model = build_panel_model(panel, dtype=dtype)
+            params = registry.classifier_params(panel)
+            if params is None:
+                if logger is not None:
+                    logger.log(f"Skipping {panel}: no weights")
+                continue
+            self.params[panel] = params
+
+            imputer = ids_keep = ids_restore = mask_img = None
+            needs_impute = (
+                infer
+                and -1 in indices
+                and panel in IMPUTER_MOSAIC  # immune panels only
+            )
+            if needs_impute:
+                mae_params = registry.imputer_params(panel)
+                if mae_params is not None:
+                    imputer = build_imputer_model(panel, dtype=dtype)
+                    grid = IMPUTER_MOSAIC[panel]
+                    l = grid[0] * grid[1]
+                    present = [
+                        k for k, v in enumerate(indices) if int(v) != -1
+                    ]
+                    ik, ir, token_mask = masking_plan(present, l)
+                    ids_keep = jnp.asarray(ik)
+                    ids_restore = jnp.asarray(ir)
+                    mask_img = unpatchify(
+                        jnp.asarray(token_mask)[None, :, None]
+                        * jnp.ones((1, l, 1600), jnp.float32),
+                        grid, 40,
+                    )
+                    self.imputer_params[panel] = mae_params
+
+            self.specs.append(
+                _HeadSpec(panel, gather, model, imputer, ids_keep,
+                          ids_restore, mask_img)
+            )
+
+        if not self.specs:
+            raise ValueError("No classifier heads available to run")
+
+        self._fn = self._build()
+        self._device_params = None
+
+    # -- program ------------------------------------------------------------
+
+    def _build(self):
+        specs = self.specs
+
+        def run(patches_full, params, imputer_params):
+            out = {}
+            for s in specs:
+                x = apply_panel_gather(patches_full, s.gather)
+                if s.imputer is not None:
+                    grid = IMPUTER_MOSAIC[s.panel]
+                    mosaic = tile_mosaic(x, grid)
+                    pred = s.imputer.apply(
+                        {"params": imputer_params[s.panel]},
+                        mosaic, s.ids_keep, s.ids_restore,
+                    )
+                    pred_img = unpatchify(pred, grid, 40)
+                    composite = (
+                        mosaic * (1.0 - s.mask_img) + pred_img * s.mask_img
+                    )
+                    x = untile_mosaic(composite, grid, 40)
+                logits = s.model.apply({"params": params[s.panel]}, x)
+                out[s.panel] = jax.nn.softmax(
+                    logits.astype(jnp.float32), axis=-1
+                )
+            return out
+
+        data = cell_sharding(self.mesh)
+        rep = replicated_sharding(self.mesh)
+        return jax.jit(
+            run,
+            in_shardings=(data, rep, rep),
+            out_shardings=data,
+        )
+
+    # -- execution ----------------------------------------------------------
+
+    def _params_on_device(self):
+        if self._device_params is None:
+            rep = replicated_sharding(self.mesh)
+            put = lambda t: jax.device_put(  # noqa: E731
+                jax.tree_util.tree_map(jnp.asarray, t), rep
+            )
+            self._device_params = (put(self.params), put(self.imputer_params))
+        return self._device_params
+
+    def run_chunk(self, patches_full) -> dict:
+        """patches_full: (B, C, 40, 40) device or host array, B a multiple
+        of the mesh size. Returns {panel: (B, n_classes) f32 DeviceArray}."""
+        params, imp = self._params_on_device()
+        return self._fn(patches_full, params, imp)
+
+    def run_cells(self, chunks) -> dict[str, np.ndarray]:
+        """Run a sequence of (patches, n_valid) chunks; returns per-panel
+        prob matrices over all valid cells, on host."""
+        per_panel: dict[str, list[np.ndarray]] = {
+            s.panel: [] for s in self.specs
+        }
+        for patches, n_valid in chunks:
+            probs = self.run_chunk(patches)
+            for panel, arr in probs.items():
+                per_panel[panel].append(np.asarray(arr[:n_valid]))
+        return {
+            panel: (
+                np.concatenate(parts, axis=0)
+                if parts else np.zeros((0, 0), np.float32)
+            )
+            for panel, parts in per_panel.items()
+        }

@@ -1,0 +1,120 @@
+"""Model registry: locate, convert, and cache ensemble weights.
+
+The reference hardcodes cwd-relative ``.pth`` paths (model.py:189-239,
+markerImputer.py:258-270) and silently skips panels whose checkpoint is
+absent. Here a registry owns one models directory, resolves per-panel
+weights in priority order
+
+  1. ``<name>.npz``  — native converted store (models/store.py);
+  2. ``<name>.pth``  — torch checkpoint, converted on first use and cached
+     as ``.npz`` so torch is never needed again;
+  3. deterministic random init — only when ``allow_random`` (used by tests
+     and shape-validation runs; every such load is logged loudly).
+
+Checkpoint basenames follow the reference: ``immune_base``,
+``immune_extended``, ``immune_full``, ``struct``, ``nerve`` and
+``<immune_panel>_impute`` for the MAE imputers.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax.numpy as jnp
+
+from ribca_tpu.models import store
+from ribca_tpu.models.convert import (
+    convert_mae_state_dict,
+    convert_vit_state_dict,
+    load_torch_checkpoint,
+)
+from ribca_tpu.models.mae import build_imputer_model
+from ribca_tpu.models.vit import build_panel_model, init_params
+
+CLASSIFIER_BASENAME = {
+    "immune_base": "immune_base",
+    "immune_extended": "immune_extended",
+    "immune_full": "immune_full",
+    "structure": "struct",
+    "nerve_cell": "nerve",
+}
+
+DEFAULT_MODELS_DIR = os.path.join(os.path.dirname(__file__), "weights")
+
+
+class ModelRegistry:
+    def __init__(self, models_dir: str | None = None, logger=None,
+                 allow_random: bool = True):
+        self.models_dir = models_dir or DEFAULT_MODELS_DIR
+        self.logger = logger
+        self.allow_random = allow_random
+        self._cache: dict[str, dict] = {}
+
+    def _log(self, msg: str) -> None:
+        if self.logger is not None:
+            self.logger.log(msg)
+
+    def _resolve(self, basename: str, is_mae: bool):
+        npz = os.path.join(self.models_dir, f"{basename}.npz")
+        if os.path.exists(npz):
+            return store.load_params(npz)
+        pth = os.path.join(self.models_dir, f"{basename}.pth")
+        if os.path.exists(pth):
+            sd = load_torch_checkpoint(pth)
+            params = (
+                convert_mae_state_dict(sd) if is_mae
+                else convert_vit_state_dict(sd)
+            )
+            try:
+                store.save_params(params, npz)
+                self._log(f"Converted {basename}.pth -> {basename}.npz")
+            except OSError:
+                pass
+            return params
+        return None
+
+    def classifier_params(self, panel: str):
+        """Flax params for a panel's classifier, or None when weights are
+        missing and random init is disallowed."""
+        key = f"cls:{panel}"
+        if key in self._cache:
+            return self._cache[key]
+        params = self._resolve(CLASSIFIER_BASENAME[panel], is_mae=False)
+        if params is None:
+            if not self.allow_random:
+                self._log(f"{panel} classifier weights not found")
+                return None
+            self._log(
+                f"WARNING: {panel} classifier weights not found; using "
+                "RANDOM initialization (annotations will be meaningless)"
+            )
+            params = init_params(build_panel_model(panel), seed=0)
+        self._cache[key] = params
+        return params
+
+    def imputer_params(self, panel: str):
+        key = f"mae:{panel}"
+        if key in self._cache:
+            return self._cache[key]
+        params = self._resolve(f"{CLASSIFIER_BASENAME[panel]}_impute",
+                               is_mae=True)
+        if params is None:
+            if not self.allow_random:
+                self._log(f"{panel} imputer weights not found")
+                return None
+            self._log(
+                f"WARNING: {panel} imputer weights not found; using RANDOM "
+                "initialization (imputed channels will be noise)"
+            )
+            model = build_imputer_model(panel)
+            import jax
+
+            h, w = model.img_size
+            dummy = jnp.zeros((1, 1, h, w), jnp.float32)
+            l = (h // 40) * (w // 40)
+            ids = jnp.arange(l, dtype=jnp.int32)
+            params = model.init(jax.random.PRNGKey(0), dummy, ids, ids)[
+                "params"
+            ]
+        self._cache[key] = params
+        return params

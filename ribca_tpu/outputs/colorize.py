@@ -1,0 +1,67 @@
+"""Colorized map rendering via lookup tables.
+
+The reference paints maps cell-by-cell with fancy-indexed pixel lists
+(model.py:806-858) — O(cells * pixels) Python. Here every map is one LUT
+gather over the instance mask: build a (max_id + 1)-entry table on host,
+then ``table[mask]`` renders the full map in a single vectorized op.
+Outputs are identical: cell-type RGB map, viridis confidence map (gray for
+rejected), tissue-region RGB map, and the GUI label maps (type int + 1 /
+region + 1, background 0).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ribca_tpu.outputs.colors import GRAY, viridis_lut
+
+
+def _lut_paint(mask: np.ndarray, table: np.ndarray) -> np.ndarray:
+    return table[mask]
+
+
+def colorize_image(
+    mask: np.ndarray,
+    cell_ids: np.ndarray,
+    type_ids: np.ndarray,
+    confidence: np.ndarray,
+    colors,
+    tissue_regions: dict | None = None,
+    tissue_colors=None,
+):
+    """Render all maps for one image.
+
+    Returns dict with keys: cell_type_rgb (H,W,3 u8), confidence_rgb,
+    cell_type_labels (H,W u8, type+1), tissue_rgb / tissue_labels when
+    ``tissue_regions`` is given.
+    """
+    max_id = int(mask.max())
+    n = max_id + 1
+
+    rgb_table = np.zeros((n, 3), dtype=np.uint8)
+    conf_table = np.zeros((n, 3), dtype=np.uint8)
+    label_table = np.zeros(n, dtype=np.uint8)
+
+    palette = np.asarray(colors, dtype=np.uint8)
+    rgb_table[cell_ids] = palette[type_ids]
+    conf_table[cell_ids] = viridis_lut(confidence, reject_gray=GRAY)
+    label_table[cell_ids] = (np.asarray(type_ids) + 1).astype(np.uint8)
+
+    out = {
+        "cell_type_rgb": _lut_paint(mask, rgb_table),
+        "confidence_rgb": _lut_paint(mask, conf_table),
+        "cell_type_labels": _lut_paint(mask, label_table),
+    }
+
+    if tissue_regions is not None and tissue_colors is not None:
+        tissue_palette = np.asarray(tissue_colors, dtype=np.uint8)
+        t_rgb = np.zeros((n, 3), dtype=np.uint8)
+        t_lab = np.zeros(n, dtype=np.uint8)
+        for cid in cell_ids:
+            region = tissue_regions[int(cid)]
+            t_rgb[cid] = tissue_palette[region]
+            t_lab[cid] = region + 1
+        out["tissue_rgb"] = _lut_paint(mask, t_rgb)
+        out["tissue_labels"] = _lut_paint(mask, t_lab)
+
+    return out

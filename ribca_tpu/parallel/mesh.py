@@ -1,0 +1,62 @@
+"""Device-mesh data parallelism over the cell axis.
+
+The reference is single-device: its only parallelism is a host fork-pool over
+mask rows (preprocess.py:183-211) and torch mini-batching (model.py:397-406).
+The TPU-native scaling axis is the *batch of cells* (up to millions per
+slide): a 1-D ``jax.sharding.Mesh`` over all chips shards the leading cell
+axis of every per-cell array, the model parameters and the image stay
+replicated, and XLA inserts the (trivial) collectives over ICI.
+
+There is deliberately no TP/PP/SP here: the largest ensemble member is a
+~21 M-param ViT (SURVEY §6) — far below single-chip HBM — so model
+parallelism would only add latency. DP is the whole story, which is why
+these helpers are thin: mesh construction, shardings, and static-shape
+padding so every dispatch reuses the same compiled program.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "cells"
+
+
+@functools.lru_cache(maxsize=8)
+def get_mesh(n_devices: int | None = None) -> Mesh:
+    """1-D mesh over the first ``n_devices`` (default: all) devices."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def cell_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (cell) axis across the mesh."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    """Fully replicated (images, params, scalars)."""
+    return NamedSharding(mesh, P())
+
+
+def pad_cells(n: int, chunk: int, n_devices: int) -> int:
+    """Padded per-dispatch cell count: ``chunk`` rounded up to a multiple of
+    the device count so the shard split is even. The last chunk of a stream
+    is padded up to the same size to keep one compiled program alive."""
+    per = max(chunk, n_devices)
+    rem = per % n_devices
+    if rem:
+        per += n_devices - rem
+    return per
+
+
+def shard_chunk(arrays, mesh: Mesh):
+    """Place a pytree of per-cell host arrays onto the mesh, cell axis
+    sharded. Arrays must already be padded to a multiple of mesh size."""
+    sh = cell_sharding(mesh)
+    return jax.tree_util.tree_map(lambda a: jax.device_put(a, sh), arrays)

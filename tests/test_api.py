@@ -1,0 +1,195 @@
+"""End-to-end flows through the Annotator facade, the JSON job API, and
+the CLI — synthetic micro-image, deterministic random weights, shape/flow
+correctness (SURVEY §4 test plan)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from ribca_tpu.api.annotator import Annotator
+from ribca_tpu.api.gui_api import batch_process, gui_api
+from ribca_tpu.io.manifest import write_manifest
+from ribca_tpu.panels.vocab import PANELS
+from ribca_tpu.utils.config import AnnotatorConfig
+from tests.synth import write_fixture
+
+N_CELLS = 9
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    return tmp_path_factory.mktemp("run")
+
+
+@pytest.fixture(scope="module")
+def fixture_paths(workdir):
+    img_path, mask_path, mask, img = write_fixture(
+        workdir, n_channels=7, n_cells=N_CELLS, h=90, w=100
+    )
+    marker_file = workdir / "markers.txt"
+    marker_file.write_text("\n".join(PANELS["immune_base"]) + "\n")
+    return img_path, mask_path, str(marker_file)
+
+
+@pytest.fixture(scope="module")
+def ran_annotator(workdir, fixture_paths):
+    img_path, mask_path, marker_file = fixture_paths
+    main_dir = workdir / "main"
+    main_dir.mkdir()
+    csv = str(main_dir / "images.csv")
+    write_manifest([(img_path, mask_path)], csv)
+    cfg = AnnotatorConfig(
+        marker_file=marker_file, csv_file=csv, main_dir=str(main_dir),
+        batch_id="t", infer=False, dtype="float32", n_regions=2,
+    )
+    ann = Annotator(cfg, models_dir=str(workdir / "nomodels"))
+    ann.preprocess()
+    ann.predict()
+    return ann
+
+
+def test_predict_populates_state(ran_annotator):
+    ann = ran_annotator
+    assert len(ann.annotations) == 1
+    assert len(ann.annotations[0]) == N_CELLS
+    assert ann.confidence[0].shape == (N_CELLS,)
+    assert str(ann.cell_types[-1]) == "Others"
+    assert len(ann.colors) == len(ann.cell_types)
+    assert os.path.exists(os.path.join(ann.result_dir, "log.txt"))
+    assert os.path.exists(
+        os.path.join(ann.result_dir, "cell_color_legend.png")
+    )
+    # annotations_all records (model.py:464-478 shape)
+    rec = ann.annotations_all[0][0]
+    assert set(rec) == {"Cell ID", "Cell type", "Confidence", "Row", "Column"}
+
+
+def test_outputs_and_analytics(ran_annotator):
+    ann = ran_annotator
+    ann.generate_heatmap(integrate=True)
+    ann.tissue_region_analysis(2)
+    ann.neighborhood_analysis(integrate=True, normalize=True)
+    ann.export_annotations()
+    ann.colorize(from_script=True)
+    ann.cell_type_composition()
+    ann.umap_visualization()
+    rd = ann.result_dir
+    for name in [
+        "t_Integrated_heatmap.png",
+        "t_integrated_neighborhood.png",
+        "t_integrated_neighborhood.csv",
+        "t_annotation_0.csv",
+        "t_colorized_annotation_0.png",
+        "t_confidence_0.png",
+        "t_tissue_region_0.png",
+        "t_cell-type_composition_0.png",
+        "t_umap.png",
+        "tissue_region_color_legend.png",
+    ]:
+        assert os.path.exists(os.path.join(rd, name)), name
+    lines = open(os.path.join(rd, "t_annotation_0.csv")).read().splitlines()
+    assert len(lines) == N_CELLS + 1
+    # canonical ordering populates the region column
+    assert not lines[1].endswith(",None")
+    legend = ann.get_cell_type_names()
+    assert "1: " in legend
+
+
+def test_clear_tmp(ran_annotator):
+    ann = ran_annotator
+    assert os.path.isdir(ann.temp_dir)
+    ann.clear_tmp()
+    assert not os.path.isdir(ann.temp_dir)
+
+
+def test_gui_api_protocol(workdir, fixture_paths):
+    img_path, mask_path, marker_file = fixture_paths
+    wd = workdir / "guiwd"
+    wd.mkdir()
+    main_dir = workdir / "guimain"
+    main_dir.mkdir()
+    hp = {
+        "marker_file": marker_file, "image_file": img_path,
+        "mask_file": mask_path, "device": "cpu",
+        "main_dir": str(main_dir), "batch_size": 64, "strict": True,
+        "infer": False, "min_cells": -1, "n_regions": 0,
+        "normalize": True, "blur": 0.3, "upper_limit": 99.8,
+        "confidence": 0.3, "cell_size": 30, "cell_type_confidence": None,
+    }
+    (wd / "hyperparams.json").write_text(json.dumps(hp))
+    intensity_dict, names = gui_api(str(wd))
+    assert set(intensity_dict) == set(range(0, N_CELLS + 1))
+    assert np.all(intensity_dict[0] == 0)
+    assert intensity_dict[1].shape == (7,)
+    assert "1: " in names
+    # GUI label maps written into the working dir (model.py:845-858)
+    assert (wd / "output_img.png").exists()
+    assert not (main_dir / "images.csv").exists()
+
+
+def test_batch_process_sentinel(workdir, fixture_paths):
+    img_path, mask_path, marker_file = fixture_paths
+    wd = workdir / "batchwd"
+    wd.mkdir()
+    main_dir = workdir / "batchmain"
+    main_dir.mkdir()
+    csv = str(main_dir / "batch.csv")
+    write_manifest([(img_path, mask_path), (img_path, mask_path)], csv)
+    hp = {
+        "marker_file": marker_file, "csv_file": csv, "device": "cpu",
+        "main_dir": str(main_dir), "batch_id": "b", "batch_size": 64,
+        "strict": True, "infer": False, "min_cells": -1, "n_regions": 0,
+        "normalize": True, "blur": 0.3, "upper_limit": 99.8,
+        "confidence": 0.3, "cell_size": 30, "cell_type_confidence": None,
+    }
+    (wd / "hyperparams_batch.json").write_text(json.dumps(hp))
+    batch_process(str(wd))
+    assert (wd / "output.txt").read_text() == "Batch process completed"
+    rd = main_dir / "results"
+    assert (rd / "b_annotation_0.csv").exists()
+    assert (rd / "b_annotation_1.csv").exists()
+
+
+def test_cli_single_image(workdir, fixture_paths):
+    from ribca_tpu.cli import main
+
+    img_path, mask_path, marker_file = fixture_paths
+    main_dir = workdir / "climain"
+    main_dir.mkdir()
+    intensity_dict, names = main([
+        "--marker-list-path", marker_file,
+        "--image-path", img_path,
+        "--mask-path", mask_path,
+        "--device", "cpu",
+        "--main-dir", str(main_dir),
+        "--batch-id", "cli",
+        "--n-regions", "0",
+        "--bs", "64",
+    ])
+    assert set(intensity_dict) == set(range(0, N_CELLS + 1))
+    assert (main_dir / "results" / "cli_annotation_0.csv").exists()
+
+
+def test_min_cells_triggers_discovery(workdir, fixture_paths):
+    """min_cells > 0 routes Others cells through discovery (shape only)."""
+    img_path, mask_path, marker_file = fixture_paths
+    main_dir = workdir / "extramain"
+    main_dir.mkdir()
+    csv = str(main_dir / "images.csv")
+    write_manifest([(img_path, mask_path)], csv)
+    cfg = AnnotatorConfig(
+        marker_file=marker_file, csv_file=csv, main_dir=str(main_dir),
+        batch_id="x", infer=False, dtype="float32", min_cells=3,
+        confidence=2.0,  # force every cell to Others
+    )
+    ann = Annotator(cfg, models_dir=str(main_dir / "nomodels"))
+    ann.preprocess()
+    ann.predict()
+    # 9 cells <= 10 samples -> all remain Others with confidence -1
+    assert all(
+        l == "Others" or l.startswith("Additional type")
+        for l in ann.annotations[0]
+    )
+    assert np.all(ann.confidence[0] == -1)
