@@ -83,7 +83,9 @@ def preprocess_image(
     img_zero = img_dev - min_val[:, None, None]
 
     mask_dev = jax.device_put(mask, rep)
-    extents = cell_extents(mask)
+    extents = cell_extents(
+        mask, prefer_native=getattr(config, "use_native_scanner", True)
+    )
     return img_zero, min_val, mask_dev, mask, extents
 
 

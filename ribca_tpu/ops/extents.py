@@ -71,16 +71,41 @@ def _extents_device(mask: jnp.ndarray, n_ids: int):
     return rmin, rmax, cmin, cmax, count, rsum, csum
 
 
-def cell_extents(mask: np.ndarray, n_ids: int | None = None) -> CellExtents:
-    """Compute per-cell extents/centroids/counts for an int mask (H, W)."""
+def cell_extents(
+    mask: np.ndarray,
+    n_ids: int | None = None,
+    prefer_native: bool = True,
+) -> CellExtents:
+    """Compute per-cell extents/centroids/counts for an int mask (H, W).
+
+    Uses the C++ single-pass scanner (ribca_tpu/native) when built — it
+    runs on host concurrently with device compute and skips the O(H*W)
+    iota arrays — falling back to the device segment-reduction path.
+    Both produce identical integers."""
     mask = np.asarray(mask)
     if n_ids is None:
         n_ids = int(mask.max()) + 1
-    out = _extents_device(jnp.asarray(mask, dtype=jnp.int32), n_ids=n_ids)
-    rmin, rmax, cmin, cmax, count, rsum, csum = (np.asarray(o) for o in out)
+
+    if prefer_native:
+        try:
+            from ribca_tpu import native
+
+            rmin, rmax, cmin, cmax, count, rsum, csum = native.mask_scan(
+                mask, n_ids
+            )
+        except (RuntimeError, OSError):
+            prefer_native = False
+    if not prefer_native:
+        out = _extents_device(
+            jnp.asarray(mask, dtype=jnp.int32), n_ids=n_ids
+        )
+        rmin, rmax, cmin, cmax, count, rsum, csum = (
+            np.asarray(o) for o in out
+        )
     cnt = np.maximum(count, 1).astype(np.float64)
     return CellExtents(
-        rmin, rmax, cmin, cmax, count,
-        rsum.astype(np.float64) / cnt,
-        csum.astype(np.float64) / cnt,
+        np.asarray(rmin), np.asarray(rmax), np.asarray(cmin),
+        np.asarray(cmax), np.asarray(count),
+        np.asarray(rsum, np.float64) / cnt,
+        np.asarray(csum, np.float64) / cnt,
     )

@@ -16,7 +16,22 @@ import numpy as np
 from ribca_tpu.outputs.colors import GRAY, viridis_lut
 
 
+# numpy fancy-indexing allocates an intermediate per gather; above this
+# pixel count the one-pass C++ painter is distinctly faster and lighter.
+_NATIVE_PAINT_THRESHOLD = 4_000_000
+
+
 def _lut_paint(mask: np.ndarray, table: np.ndarray) -> np.ndarray:
+    if (
+        table.ndim == 2 and table.shape[1] == 3
+        and mask.size >= _NATIVE_PAINT_THRESHOLD
+    ):
+        try:
+            from ribca_tpu import native
+
+            return native.lut_paint_rgb(mask, table)
+        except (RuntimeError, OSError):
+            pass
     return table[mask]
 
 
