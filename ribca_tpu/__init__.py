@@ -15,8 +15,8 @@ Design goals (vs the torch/timm reference):
   * the host side is a thin streaming layer (TIFF decode, manifest
     handling, result writers) double-buffered against the device;
   * multi-chip scaling is 1-D data parallelism over the cell axis via
-    ``jax.sharding`` meshes (the models are <25M params; no TP needed for
-    inference, though the training module supports DP x TP).
+    ``jax.sharding`` meshes (the models are <25M params, so DP is the only
+    parallelism that pays — SURVEY §2 rows 24-25).
 
 Public surface mirrors the reference: :class:`ribca_tpu.api.Annotator`,
 ``ribca_tpu.cli.main``, ``ribca_tpu.api.gui_api`` / ``batch_process``.

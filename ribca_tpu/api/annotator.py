@@ -192,9 +192,11 @@ class Annotator:
 
         self.records = []
         for img_path, mask_path in zip(self._image_paths, self._mask_paths):
-            image = read_image(img_path)
-            mask = read_mask(mask_path)
-            record = run_image(image, mask, cfg, runner)
+            with self.logger.stage("io.read"):
+                image = read_image(img_path)
+                mask = read_mask(mask_path)
+            with self.logger.stage("device.pipeline"):
+                record = run_image(image, mask, cfg, runner)
             self.records.append(record)
             self.logger.log(
                 f"Processed {os.path.basename(img_path)}: "
@@ -202,7 +204,8 @@ class Annotator:
             )
         self.logger.log("Finished predicting cell types and tissue structures.")
 
-        self.merge_by_voting()
+        with self.logger.stage("voting.merge"):
+            self.merge_by_voting()
 
         # unique types, Others forced last (model.py:455-458)
         uniq = set()
@@ -456,6 +459,8 @@ class Annotator:
                 os.remove(os.path.join(self.temp_dir, f))
             os.rmdir(self.temp_dir)
         self.logger.log("Temporary files cleared")
+        # per-stage wall-time trace (SURVEY §5: the reference has none)
+        self.logger.write_trace_summary()
 
 
 def _dtype_from_name(name: str):

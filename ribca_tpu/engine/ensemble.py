@@ -180,11 +180,32 @@ class EnsembleRunner:
 
     # -- execution ----------------------------------------------------------
 
+    def _cast_params(self, tree):
+        """Pre-cast matmul params to the compute dtype ONCE (halves HBM
+        traffic and host->device upload); LayerNorm params stay f32 — the
+        blocks run their norms in f32 (models/vit.py)."""
+        if self.dtype == jnp.float32:
+            return tree
+
+        def cast(path, leaf):
+            keep_f32 = any(
+                getattr(k, "key", "").startswith(
+                    ("norm", "decoder_norm", "head", "decoder_pred")
+                )
+                for k in path
+            )
+            leaf = jnp.asarray(leaf)
+            if keep_f32 or not jnp.issubdtype(leaf.dtype, jnp.floating):
+                return leaf
+            return leaf.astype(self.dtype)
+
+        return jax.tree_util.tree_map_with_path(cast, tree)
+
     def _params_on_device(self):
         if self._device_params is None:
             rep = replicated_sharding(self.mesh)
             put = lambda t: jax.device_put(  # noqa: E731
-                jax.tree_util.tree_map(jnp.asarray, t), rep
+                self._cast_params(t), rep
             )
             self._device_params = (put(self.params), put(self.imputer_params))
         return self._device_params

@@ -29,7 +29,7 @@ from ribca_tpu.models.convert import (
     load_torch_checkpoint,
 )
 from ribca_tpu.models.mae import build_imputer_model
-from ribca_tpu.models.vit import build_panel_model, init_params
+from ribca_tpu.models.vit import build_panel_model, init_params_np
 
 CLASSIFIER_BASENAME = {
     "immune_base": "immune_base",
@@ -88,7 +88,7 @@ class ModelRegistry:
                 f"WARNING: {panel} classifier weights not found; using "
                 "RANDOM initialization (annotations will be meaningless)"
             )
-            params = init_params(build_panel_model(panel), seed=0)
+            params = init_params_np(build_panel_model(panel), seed=0)
         self._cache[key] = params
         return params
 
@@ -108,13 +108,23 @@ class ModelRegistry:
             )
             model = build_imputer_model(panel)
             import jax
+            import numpy as np
 
             h, w = model.img_size
             dummy = jnp.zeros((1, 1, h, w), jnp.float32)
             l = (h // 40) * (w // 40)
             ids = jnp.arange(l, dtype=jnp.int32)
-            params = model.init(jax.random.PRNGKey(0), dummy, ids, ids)[
-                "params"
-            ]
+            shapes = jax.eval_shape(
+                lambda: model.init(jax.random.PRNGKey(0), dummy, ids, ids)[
+                    "params"
+                ]
+            )
+            rng = np.random.default_rng(0)
+            params = jax.tree_util.tree_map(
+                lambda s: (rng.standard_normal(s.shape) * 0.02).astype(
+                    s.dtype
+                ),
+                shapes,
+            )
         self._cache[key] = params
         return params

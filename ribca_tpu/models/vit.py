@@ -157,3 +157,21 @@ def init_params(model: nn.Module, seed: int = 0, in_shape=None):
         in_shape = (1, model.in_chans, model.img_size, model.img_size)
     dummy = jnp.zeros(in_shape, jnp.float32)
     return model.init(jax.random.PRNGKey(seed), dummy)["params"]
+
+
+def init_params_np(model: nn.Module, seed: int = 0, in_shape=None):
+    """Host-side numpy random init with the same tree structure as
+    ``init_params`` — no device compile, no transfer. Used for the
+    registry's random fallback and benches, where weight VALUES don't
+    matter but building a fused init program on a remote accelerator
+    would cost minutes."""
+    import numpy as np
+
+    shapes = jax.eval_shape(
+        lambda: init_params(model, seed=seed, in_shape=in_shape)
+    )
+    rng = np.random.default_rng(seed)
+    return jax.tree_util.tree_map(
+        lambda s: (rng.standard_normal(s.shape) * 0.02).astype(s.dtype),
+        shapes,
+    )
