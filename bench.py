@@ -94,9 +94,14 @@ def measure_tpu() -> float:
         return time.perf_counter() - t0
 
     timed(N1)  # compile
-    t_short = timed(N1)
-    t_long = timed(N2)
-    dt = t_long - t_short
+    # median of 3 delta pairs: the device may be shared/tunneled, so a
+    # single pair is noisy
+    deltas = []
+    for _ in range(3):
+        t_short = timed(N1)
+        t_long = timed(N2)
+        deltas.append(t_long - t_short)
+    dt = float(np.median(deltas))
     if dt <= 0:
         return CHUNK * N2 / t_long
     return CHUNK * (N2 - N1) / dt

@@ -27,6 +27,18 @@ Dtype = Any
 
 
 class Attention(nn.Module):
+    """Multi-head self-attention with f32 softmax (timm/torch parity).
+
+    Perf notes from v5e measurements at B=4096 (chained-loop timing):
+    isolated attention layers looked 2.4-3x faster with a bf16 softmax
+    (10.5/24.2 -> 4.4/8.2 ms for widths 144/576), but inside the full
+    model the bf16 softmax was ~8% SLOWER end-to-end (665.7 vs 615.6
+    ms/iter for ViT-l) — XLA fuses the f32 softmax chain fine in context,
+    and the extra precision-conversion boundaries hurt fusion. A fused
+    single-tile Pallas kernel also measured slower than XLA at these tiny
+    head dims (ops/attention.py). So: plain composition, f32 softmax —
+    fastest AND bit-faithful."""
+
     dim: int
     num_heads: int
     dtype: Dtype = jnp.float32
