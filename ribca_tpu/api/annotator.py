@@ -190,18 +190,44 @@ class Annotator:
         if not self._image_paths:
             self.preprocess()
 
+        profiling = bool(cfg.profile_dir)
+        if profiling:
+            import jax
+
+            jax.profiler.start_trace(cfg.profile_dir)
+
+        # decode image i+1 on a host thread while image i runs on device
+        # (the reference's only batch overlap was disk .pt files; here the
+        # host IO hides behind device compute)
+        from concurrent.futures import ThreadPoolExecutor
+
+        def decode(paths):
+            img_path, mask_path = paths
+            return read_image(img_path), read_mask(mask_path)
+
+        pairs = list(zip(self._image_paths, self._mask_paths))
         self.records = []
-        for img_path, mask_path in zip(self._image_paths, self._mask_paths):
-            with self.logger.stage("io.read"):
-                image = read_image(img_path)
-                mask = read_mask(mask_path)
-            with self.logger.stage("device.pipeline"):
-                record = run_image(image, mask, cfg, runner)
-            self.records.append(record)
-            self.logger.log(
-                f"Processed {os.path.basename(img_path)}: "
-                f"{record.n_cells} cells"
-            )
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            pending = pool.submit(decode, pairs[0]) if pairs else None
+            for i, (img_path, _) in enumerate(pairs):
+                with self.logger.stage("io.read"):
+                    image, mask = pending.result()
+                pending = (
+                    pool.submit(decode, pairs[i + 1])
+                    if i + 1 < len(pairs) else None
+                )
+                with self.logger.stage("device.pipeline"):
+                    record = run_image(image, mask, cfg, runner)
+                self.records.append(record)
+                self.logger.log(
+                    f"Processed {os.path.basename(img_path)}: "
+                    f"{record.n_cells} cells"
+                )
+        if profiling:
+            import jax
+
+            jax.profiler.stop_trace()
+            self.logger.log(f"Profiler trace written to {cfg.profile_dir}")
         self.logger.log("Finished predicting cell types and tissue structures.")
 
         with self.logger.stage("voting.merge"):

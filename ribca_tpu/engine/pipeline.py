@@ -31,6 +31,11 @@ from ribca_tpu.parallel.mesh import cell_sharding, replicated_sharding
 MIN_CHUNK = 64
 
 
+@jax.jit
+def _cast_f32(x):
+    return x.astype(jnp.float32)
+
+
 @dataclasses.dataclass
 class ImageRecord:
     """Everything downstream stages need for one image."""
@@ -72,11 +77,15 @@ def preprocess_image(
     mask = np.ascontiguousarray(mask).astype(np.int32)
 
     rep = replicated_sharding(mesh)
-    img_dev = jax.device_put(np.asarray(image, np.float32), rep)
+    # upload in the source dtype (uint16 slides are half the bytes of f32;
+    # host->device bandwidth is the scarce resource) and cast on device
+    img_dev = jax.device_put(np.asarray(image), rep)
     if config.normalize:
         img_dev = normalize_image(
             img_dev, blur=float(config.blur), amax=float(config.upper_limit)
         )
+    else:
+        img_dev = _cast_f32(img_dev)
 
     # _move_image_range (preprocess.py:153-157): per-channel min shift.
     min_val = jnp.min(img_dev, axis=(1, 2))

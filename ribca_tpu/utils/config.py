@@ -57,6 +57,7 @@ class AnnotatorConfig:
     data_parallel: bool = True         # shard the cell axis over all chips
     use_native_scanner: bool = True    # C++ mask scanner when built
     chunk_cells: int = 65536           # cells per device dispatch
+    profile_dir: Optional[str] = None  # jax.profiler trace output dir
 
     def __post_init__(self):
         if self.cell_type_confidence is None:
