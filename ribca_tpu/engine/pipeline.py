@@ -107,7 +107,15 @@ def run_image(
     """Full single-image flow: returns per-panel probs + intensities.
 
     ``runner`` is an EnsembleRunner built for the current marker parse.
+    Whole slides whose f32 footprint exceeds the config's device budget
+    stream through the banded pipeline (engine/tiled.py) instead.
     """
+    budget = getattr(config, "device_image_budget_bytes", 2 << 30)
+    if int(np.prod(image.shape)) * 4 > budget:
+        from ribca_tpu.engine.tiled import run_image_tiled
+
+        return run_image_tiled(image, mask, config, runner)
+
     mesh = runner.mesh
     n_dev = mesh.size
     img_zero, min_val, mask_dev, mask_host, ext = preprocess_image(

@@ -22,6 +22,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ribca_tpu.ops.gaussian import gaussian_blur
 
@@ -57,3 +58,85 @@ def normalize_image(img: jnp.ndarray, blur: float = 0.0, amax: float = 100.0):
     """Normalize a CHW stack; returns float32 in [-1, 1]."""
     fn = functools.partial(_normalize_channel, blur=blur, amax=amax)
     return jax.vmap(fn)(img.astype(jnp.float32))
+
+
+# -- tiled (banded) two-pass pieces (engine/tiled.py) -------------------------
+#
+# Whole slides can exceed HBM; the tiled pipeline streams row bands. Steps
+# 1-2 (background subtract + blur) are local given a halo of the Gaussian
+# radius and run per band; steps 3-5 need global per-channel statistics
+# (any>0, the amax percentile, the max), gathered in a first pass as
+# histograms/extrema and applied branchlessly in a second pass.
+
+HIST_BINS = 8192
+
+
+def halo_radius(blur: float) -> int:
+    """Rows of context a band needs for exact Gaussian edges (scipy
+    truncate=4.0): bg sigma 20 -> 80, plus the optional blur radius."""
+    r = int(4.0 * BG_SIGMA + 0.5)
+    if blur:
+        r += int(4.0 * float(blur) + 0.5)
+    return r
+
+
+@functools.partial(jax.jit, static_argnames=("blur",))
+def band_prenorm(band: jnp.ndarray, blur: float = 0.0):
+    """Steps 1-2 on a (C, Hb, W) band (with halo rows included): background
+    subtract + optional blur. Returns the pre-clip band, f32 >= 0."""
+
+    def one(ch):
+        ch = ch.astype(jnp.float32)
+        bg = gaussian_blur(ch, BG_SIGMA, mode="reflect")
+        bg = jnp.minimum(bg, BG_CLIP)
+        ch = jnp.clip(ch - bg, 0.0, None)
+        if blur:
+            ch = gaussian_blur(ch, float(blur), mode="reflect")
+        return ch
+
+    return jax.vmap(one)(band)
+
+
+@functools.partial(jax.jit, static_argnames=("bins",))
+def band_stats(pre: jnp.ndarray, hi: jnp.ndarray, bins: int = HIST_BINS):
+    """Per-channel (histogram, max, count>0) of a pre-clip band.
+
+    ``hi`` is a per-channel upper range (the raw per-channel max is a safe
+    bound since bg-subtraction only lowers values)."""
+
+    def one(ch, h):
+        scaled = jnp.clip(ch / jnp.maximum(h, 1e-30) * bins, 0, bins - 1)
+        idx = scaled.astype(jnp.int32).reshape(-1)
+        hist = jnp.zeros((bins,), jnp.int32).at[idx].add(1)
+        return hist, jnp.max(ch), jnp.sum(ch > 0)
+
+    return jax.vmap(one)(pre, hi)
+
+
+def percentile_from_hist(hist: np.ndarray, hi: float, q: float,
+                         total: int) -> float:
+    """Approximate np.percentile(x, q) from a fixed-range histogram
+    (linear interpolation inside the selected bin; error <= hi/HIST_BINS)."""
+    bins = len(hist)
+    target = q / 100.0 * (total - 1)
+    cum = np.cumsum(hist)
+    b = int(np.searchsorted(cum, target + 1))
+    b = min(b, bins - 1)
+    prev = cum[b - 1] if b > 0 else 0
+    inside = max(int(hist[b]), 1)
+    frac = (target + 1 - prev) / inside
+    return (b + np.clip(frac, 0.0, 1.0)) * hi / bins
+
+
+@jax.jit
+def band_apply_scale(pre, thresh, denom, has_signal):
+    """Steps 3-5 with global host-computed per-channel scalars: clip at
+    thresh where thresh > PCT_GUARD, scale by max(25, denom), empty
+    channels -> -1 (branchless, preprocess.py:229-238)."""
+
+    def one(ch, t, d, s):
+        clipped = jnp.where(t > PCT_GUARD, jnp.clip(ch, 0.0, t), ch)
+        scaled = 2.0 * (clipped / d) - 1.0
+        return jnp.where(s, scaled, jnp.full_like(ch, -1.0))
+
+    return jax.vmap(one)(pre, thresh, denom, has_signal)

@@ -85,19 +85,26 @@ def apply_panel_gather(patches: jnp.ndarray, pg: PanelGather) -> jnp.ndarray:
 # -- window gather -----------------------------------------------------------
 
 
-def _gather_windows(img_zero, mask, rmin, rmax, cmin, cmax, patch_size, offset):
-    h, w = mask.shape
+def _gather_windows(img_zero, mask, rmin, rmax, cmin, cmax, patch_size,
+                    offset, row_offset, full_h):
+    """Window gather; ``img_zero``/``mask`` may be a row BAND of the full
+    image starting at global row ``row_offset`` (engine/tiled.py), in which
+    case ``full_h`` is the full image height for the bottom-clamp
+    semantics (utils.py:239-240). Callers guarantee each cell's window
+    rows fall inside the band (+halo)."""
+    band_h, w = mask.shape
 
     def one(rmn, rmx, cmn, cmx):
         x_mean = (rmn + rmx) // 2
         y_mean = (cmn + cmx) // 2
         xmin = jnp.maximum(x_mean - offset, 0)
         ymin = jnp.maximum(y_mean - offset, 0)
-        rows = xmin + jnp.arange(patch_size)
+        rows = xmin + jnp.arange(patch_size)  # global rows
         cols = ymin + jnp.arange(patch_size)
-        vr = rows < h
+        local = rows - row_offset
+        vr = (rows < full_h) & (local >= 0) & (local < band_h)
         vc = cols < w
-        rc = jnp.where(vr, rows, 0)
+        rc = jnp.where(vr, local, 0)
         cc = jnp.where(vc, cols, 0)
         ip = img_zero[:, rc][:, :, cc]
         mp = mask[rc][:, cc]
@@ -162,15 +169,20 @@ def extract_patches(
     cmin: jnp.ndarray, cmax: jnp.ndarray,
     patch_size: int = 40,
     out_size: int = OUT_SIZE,
+    row_offset=0,            # band-mode: global row of img_zero[., 0, .]
+    full_h=None,             # band-mode: full image height
 ):
     """Returns (patches (N,C,out,out) f32, avg_int (N,C) f32)."""
     p = int(patch_size)
     # int(max(x_mean - P/2, 0)): floor for positive values -> ceil(P/2) offset
     # when P is odd, P//2 when even
     offset = p // 2 if p % 2 == 0 else (p + 1) // 2
+    if full_h is None:
+        full_h = mask.shape[0]
 
     ip, mp = _gather_windows(
-        img_zero, mask, rmin, rmax, cmin, cmax, p, offset
+        img_zero, mask, rmin, rmax, cmin, cmax, p, offset,
+        jnp.asarray(row_offset, jnp.int32), jnp.asarray(full_h, jnp.int32),
     )
     cm = (mp == cell_ids[:, None, None]).astype(jnp.float32)
     sm = _soft_mask(cm)

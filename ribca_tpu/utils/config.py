@@ -58,6 +58,9 @@ class AnnotatorConfig:
     use_native_scanner: bool = True    # C++ mask scanner when built
     chunk_cells: int = 65536           # cells per device dispatch
     profile_dir: Optional[str] = None  # jax.profiler trace output dir
+    # whole-slide images above this f32 footprint stream through the
+    # banded pipeline (engine/tiled.py) instead of living in HBM whole
+    device_image_budget_bytes: int = 2 << 30
 
     def __post_init__(self):
         if self.cell_type_confidence is None:

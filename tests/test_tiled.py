@@ -1,0 +1,88 @@
+"""Banded whole-slide pipeline vs the single-shot path.
+
+normalize=False is bit-exact; normalize=True differs only through the
+histogram-approximated percentile (tolerance asserted tight) — SURVEY §7
+"Hard parts: percentile + data-dependent control flow".
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ribca_tpu.engine.ensemble import EnsembleRunner
+from ribca_tpu.engine.pipeline import run_image
+from ribca_tpu.engine.tiled import run_image_tiled
+from ribca_tpu.models.registry import ModelRegistry
+from ribca_tpu.panels.parser import MarkerParser
+from ribca_tpu.panels.vocab import PANELS
+from ribca_tpu.parallel.mesh import get_mesh
+from ribca_tpu.utils.config import AnnotatorConfig
+from tests.synth import make_cells, make_image
+
+
+@pytest.fixture(scope="module")
+def runner(tmp_path_factory):
+    p = MarkerParser(strict=True)
+    mf = tmp_path_factory.mktemp("mk") / "markers.txt"
+    mf.write_text("\n".join(PANELS["immune_base"]) + "\n")
+    p.parse(str(mf))
+    registry = ModelRegistry(str(tmp_path_factory.mktemp("empty")))
+    return EnsembleRunner(p, registry, n_channels=7, infer=False,
+                          dtype=jnp.float32, mesh=get_mesh())
+
+
+@pytest.fixture(scope="module")
+def fixture():
+    mask, _ = make_cells(h=420, w=90, n_cells=24, seed=1)
+    img = make_image(mask, n_channels=7, seed=1)
+    return img, mask
+
+
+def test_tiled_matches_single_shot_no_normalize(runner, fixture):
+    img, mask = fixture
+    cfg = AnnotatorConfig(normalize=False)
+    whole = run_image(img, mask, cfg, runner)
+    tiled = run_image_tiled(img, mask, cfg, runner, band_rows=160)
+    np.testing.assert_array_equal(whole.cell_ids, tiled.cell_ids)
+    np.testing.assert_allclose(
+        whole.panel_probs["immune_base"], tiled.panel_probs["immune_base"],
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        whole.intensity_full, tiled.intensity_full, atol=1e-6
+    )
+
+
+def test_tiled_matches_single_shot_normalized(runner, fixture):
+    img, mask = fixture
+    cfg = AnnotatorConfig(normalize=True, blur=0.3, upper_limit=99.8)
+    whole = run_image(img, mask, cfg, runner)
+    tiled = run_image_tiled(img, mask, cfg, runner, band_rows=160)
+    np.testing.assert_allclose(
+        whole.panel_probs["immune_base"], tiled.panel_probs["immune_base"],
+        atol=2e-3,
+    )
+    # labels (argmax) must agree everywhere
+    np.testing.assert_array_equal(
+        np.argmax(whole.panel_probs["immune_base"], 1),
+        np.argmax(tiled.panel_probs["immune_base"], 1),
+    )
+    np.testing.assert_allclose(
+        whole.intensity_full, tiled.intensity_full, atol=2e-3
+    )
+
+
+def test_auto_dispatch_by_budget(runner, fixture):
+    """run_image must route big images through the banded path."""
+    img, mask = fixture
+    cfg = AnnotatorConfig(
+        normalize=False, device_image_budget_bytes=img.nbytes // 4
+    )
+    rec = run_image(img, mask, cfg, runner)
+    assert rec.n_cells == 24
+    cfg2 = AnnotatorConfig(normalize=False)
+    whole = run_image(img, mask, cfg2, runner)
+    np.testing.assert_allclose(
+        whole.panel_probs["immune_base"], rec.panel_probs["immune_base"],
+        atol=1e-6,
+    )
