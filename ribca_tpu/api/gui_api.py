@@ -62,6 +62,9 @@ def gui_run(
     os.remove(csv_path)
 
     intensity = annotator.intensity_full[0]
+    # keyed by the TRUE cell ids (the reference keys i+1 assuming the mask
+    # ids are 1..N contiguous, gui_api.py:38-42 — wrong for sparse masks;
+    # identical for the contiguous masks its GUI produces)
     intensity_dict = {0: np.zeros_like(intensity[0])}
     for j, cid in enumerate(annotator.records[0].cell_ids):
         intensity_dict[int(cid)] = intensity[j]

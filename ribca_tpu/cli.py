@@ -139,6 +139,9 @@ def config_from_args(args: argparse.Namespace) -> AnnotatorConfig:
 
 
 def main(argv=None):
+    from ribca_tpu.parallel.mesh import maybe_init_distributed
+
+    maybe_init_distributed()
     args = parse_args(argv)
     config = config_from_args(args)
     if args.batch_csv:

@@ -60,3 +60,18 @@ def shard_chunk(arrays, mesh: Mesh):
     sharded. Arrays must already be padded to a multiple of mesh size."""
     sh = cell_sharding(mesh)
     return jax.tree_util.tree_map(lambda a: jax.device_put(a, sh), arrays)
+
+
+def maybe_init_distributed() -> bool:
+    """Initialize ``jax.distributed`` for multi-host batch processing when
+    the standard coordinator env vars are present (SURVEY §5: cross-host
+    DCN only matters if batch mode scales to multi-host pods; per-slide
+    work needs only ICI). Safe no-op on a single host. Returns True when
+    multi-host mode was initialized."""
+    import os
+
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") is None:
+        return False
+    jax.distributed.initialize()
+    get_mesh.cache_clear()  # mesh must span the global device set
+    return True
