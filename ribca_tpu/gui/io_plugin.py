@@ -68,7 +68,8 @@ def make_sample_data(h=256, w=256, n_cells=60, n_channels=7, seed=0):
     mask = np.zeros((h, w), dtype=np.int32)
     side = int(np.ceil(np.sqrt(n_cells)))
     radius = max(3, min(h, w) // (3 * side))
-    yy, xx = np.mgrid[0:h, 0:w]
+    yy, xx = np.mgrid[-radius:radius + 1, -radius:radius + 1]
+    stamp = (yy**2 + xx**2) <= radius**2
     cid = 1
     for iy in range(side):
         for ix in range(side):
@@ -78,8 +79,9 @@ def make_sample_data(h=256, w=256, n_cells=60, n_channels=7, seed=0):
                              radius, h - radius - 1))
             cx = int(np.clip((ix + 0.5) * w / side + rng.integers(-3, 4),
                              radius, w - radius - 1))
-            disk = (yy - cy) ** 2 + (xx - cx) ** 2 <= radius**2
-            mask[disk & (mask == 0)] = cid
+            win = mask[cy - radius:cy + radius + 1,
+                       cx - radius:cx + radius + 1]
+            win[stamp & (win == 0)] = cid
             cid += 1
     expression = rng.uniform(20, 220, size=(n_channels, n_cells + 1))
     expression[:, 0] = 0

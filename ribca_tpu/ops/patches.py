@@ -106,8 +106,11 @@ def _gather_windows(img_zero, mask, rmin, rmax, cmin, cmax, patch_size,
         vc = cols < w
         rc = jnp.where(vr, local, 0)
         cc = jnp.where(vc, cols, 0)
-        ip = img_zero[:, rc][:, :, cc]
-        mp = mask[rc][:, cc]
+        # ONE combined 2-D gather: chaining [:, rc][:, :, cc] materializes
+        # a (C, P, W) row-gather intermediate per cell — 32 GB for an
+        # 8k-cell chunk on a 3000-px-wide slide
+        ip = img_zero[:, rc[:, None], cc[None, :]]
+        mp = mask[rc[:, None], cc[None, :]]
         valid = vr[:, None] & vc[None, :]
         return ip * valid[None], jnp.where(valid, mp, 0)
 

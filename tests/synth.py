@@ -10,9 +10,14 @@ from ribca_tpu.io import write_tiff
 
 
 def make_cells(h=120, w=150, n_cells=12, radius=6, seed=0):
-    """Disk-shaped cells on a grid with jitter; returns (mask, centers)."""
+    """Disk-shaped cells on a grid with jitter; returns (mask, centers).
+
+    Disks are stamped on local (2r+1)^2 windows so generation is O(H*W +
+    n_cells*r^2) — usable for whole-slide-scale fixtures."""
     rng = np.random.default_rng(seed)
     mask = np.zeros((h, w), dtype=np.int32)
+    yy, xx = np.mgrid[-radius:radius + 1, -radius:radius + 1]
+    stamp = (yy**2 + xx**2) <= radius**2
     centers = []
     cid = 1
     gy = int(np.ceil(np.sqrt(n_cells)))
@@ -23,11 +28,11 @@ def make_cells(h=120, w=150, n_cells=12, radius=6, seed=0):
                 break
             cy = int((iy + 0.5) * h / gy + rng.integers(-3, 4))
             cx = int((ix + 0.5) * w / gx + rng.integers(-3, 4))
-            cy = np.clip(cy, radius, h - radius - 1)
-            cx = np.clip(cx, radius, w - radius - 1)
-            yy, xx = np.mgrid[0:h, 0:w]
-            disk = (yy - cy) ** 2 + (xx - cx) ** 2 <= radius**2
-            mask[disk & (mask == 0)] = cid
+            cy = int(np.clip(cy, radius, h - radius - 1))
+            cx = int(np.clip(cx, radius, w - radius - 1))
+            win = mask[cy - radius:cy + radius + 1,
+                       cx - radius:cx + radius + 1]
+            win[stamp & (win == 0)] = cid
             centers.append((cy, cx))
             cid += 1
     return mask, centers
