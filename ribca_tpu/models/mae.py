@@ -18,7 +18,6 @@ Output composite: x*(1-mask) + pred*mask, untiled back to channels.
 
 from __future__ import annotations
 
-import functools
 from typing import Any
 
 import flax.linen as nn

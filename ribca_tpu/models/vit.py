@@ -14,7 +14,6 @@ and softmax stay f32.
 
 from __future__ import annotations
 
-import math
 from typing import Any
 
 import flax.linen as nn

@@ -5,7 +5,6 @@ import json
 import os
 
 import numpy as np
-import pytest
 
 from ribca_tpu.gui import logic
 from ribca_tpu.gui.batch_worker import batch_process_func

@@ -9,7 +9,6 @@ shared via real .pth checkpoints converted by the registry.
 """
 
 import numpy as np
-import pytest
 import torch
 import jax.numpy as jnp
 

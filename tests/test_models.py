@@ -20,7 +20,6 @@ from ribca_tpu.models.mae import (
     make_impute_fn,
     tile_mosaic,
     untile_mosaic,
-    unpatchify,
     get_2d_sincos_pos_embed,
 )
 from ribca_tpu.panels.vocab import PANEL_MODEL_SPECS, IMPUTER_MOSAIC

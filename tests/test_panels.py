@@ -1,6 +1,5 @@
 """MarkerParser semantics vs the reference contract (markerParse.py)."""
 
-import numpy as np
 import pytest
 
 from ribca_tpu.panels import MarkerParser, PANELS, get_void_vote, CELL_TYPES
