@@ -130,8 +130,8 @@ def run_image(
                            n_dev)
     sh = cell_sharding(mesh)
 
-    def pad(a, fill=0):
-        out = np.full(chunk, fill, dtype=np.int32)
+    def pad(a, size, fill=0):
+        out = np.full(size, fill, dtype=np.int32)
         out[: len(a)] = a
         return out
 
@@ -154,8 +154,12 @@ def run_image(
         stop = min(start + chunk, n)
         sel = ids[start:stop]
         n_valid = len(sel)
+        # tail chunks drop to their power-of-two bucket instead of padding
+        # all the way to `chunk` (a 20k-cell image at chunk 8192 would
+        # otherwise waste 23% of ensemble compute on the final dispatch)
+        size = chunk_size_for(max(n_valid, 1), chunk, n_dev)
         args = [
-            jax.device_put(pad(a), sh)
+            jax.device_put(pad(a, size), sh)
             for a in (
                 sel, ext.rmin[sel], ext.rmax[sel], ext.cmin[sel],
                 ext.cmax[sel],

@@ -176,8 +176,8 @@ def run_image_tiled(
         min(max(n, 1), config.chunk_cells), config.chunk_cells, n_dev
     )
 
-    def pad_cells_arr(a, fill=0):
-        out = np.full(chunk, fill, dtype=np.int32)
+    def pad_cells_arr(a, size, fill=0):
+        out = np.full(size, fill, dtype=np.int32)
         out[: len(a)] = a
         return out
 
@@ -232,8 +232,9 @@ def run_image_tiled(
             piece = sel[start:stop]
             piece_idx = sel_idx[start:stop]
             n_valid = len(piece)
+            size = chunk_size_for(max(n_valid, 1), chunk, n_dev)
             args = [
-                jax.device_put(pad_cells_arr(a), sh)
+                jax.device_put(pad_cells_arr(a, size), sh)
                 for a in (
                     piece, ext.rmin[piece], ext.rmax[piece],
                     ext.cmin[piece], ext.cmax[piece],
