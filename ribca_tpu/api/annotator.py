@@ -83,6 +83,7 @@ class Annotator:
         )
         self.channel_parser.parse(config.marker_file)
 
+        _enable_compile_cache(config.compile_cache_dir)
         self.registry = ModelRegistry(models_dir, logger=self.logger)
         self.mesh = mesh if mesh is not None else get_mesh()
 
@@ -487,6 +488,25 @@ class Annotator:
         self.logger.log("Temporary files cleared")
         # per-stage wall-time trace (SURVEY §5: the reference has none)
         self.logger.write_trace_summary()
+
+
+def _enable_compile_cache(cache_dir: str | None) -> None:
+    """Persistent XLA compile cache (cold compiles cost minutes on
+    remote-compiled TPUs); safe no-op when disabled or already set."""
+    if not cache_dir:
+        return
+    import jax
+
+    try:
+        path = os.path.expanduser(cache_dir)
+        os.makedirs(path, exist_ok=True)
+        if jax.config.jax_compilation_cache_dir is None:
+            jax.config.update("jax_compilation_cache_dir", path)
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0
+            )
+    except Exception:
+        pass
 
 
 def _dtype_from_name(name: str):

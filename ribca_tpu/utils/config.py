@@ -61,6 +61,9 @@ class AnnotatorConfig:
     # whole-slide images above this f32 footprint stream through the
     # banded pipeline (engine/tiled.py) instead of living in HBM whole
     device_image_budget_bytes: int = 2 << 30
+    # persistent XLA compile cache (cold-start compiles are expensive,
+    # minutes on remote-compiled TPU); "" disables
+    compile_cache_dir: str = "~/.cache/ribca_tpu/xla"
 
     def __post_init__(self):
         if self.cell_type_confidence is None:

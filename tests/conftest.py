@@ -22,6 +22,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent XLA compile cache: the suite compiles dozens of programs and
+# CPU compiles are slow; cached across pytest runs
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("RIBCA_TEST_CACHE", "/tmp/ribca_jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
