@@ -203,8 +203,13 @@ class Annotator:
         from concurrent.futures import ThreadPoolExecutor
 
         def decode(paths):
+            from ribca_tpu.io.tiff_stream import open_image
+
             img_path, mask_path = paths
-            return read_image(img_path), read_mask(mask_path)
+            image = open_image(
+                img_path, host_budget_bytes=cfg.host_image_budget_bytes
+            )
+            return image, read_mask(mask_path)
 
         pairs = list(zip(self._image_paths, self._mask_paths))
         self.records = []

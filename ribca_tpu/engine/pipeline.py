@@ -111,7 +111,10 @@ def run_image(
     stream through the banded pipeline (engine/tiled.py) instead.
     """
     budget = getattr(config, "device_image_budget_bytes", 2 << 30)
-    if int(np.prod(image.shape)) * 4 > budget:
+    if (
+        int(np.prod(image.shape)) * 4 > budget
+        or hasattr(image, "read_band")  # streaming whole-slide reader
+    ):
         from ribca_tpu.engine.tiled import run_image_tiled
 
         return run_image_tiled(image, mask, config, runner)

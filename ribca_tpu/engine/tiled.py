@@ -65,15 +65,42 @@ def _pad_rows(arr: np.ndarray, rows: int, mode: str = "constant") -> np.ndarray:
     return np.pad(arr, pad, mode=mode)
 
 
+def _channel_hi(image) -> np.ndarray:
+    """Per-channel histogram upper range. Integer images use the dtype
+    ceiling (streaming readers never materialize, and bg-subtraction only
+    lowers values); float ndarrays use the actual max; float streaming
+    readers stream it."""
+    c = image.shape[0]
+    dt = np.dtype(image.dtype)
+    if np.issubdtype(dt, np.integer):
+        return np.full(c, float(np.iinfo(dt).max), np.float64)
+    if isinstance(image, np.ndarray):
+        return np.maximum(
+            image.reshape(c, -1).max(axis=1).astype(np.float64), 1.0
+        )
+    # float streaming reader: one cheap max pass
+    h = image.shape[1]
+    hi = np.full(c, 1.0)
+    step = 2048
+    for lo in range(0, h, step):
+        band = np.asarray(image[:, lo:min(lo + step, h)], np.float64)
+        hi = np.maximum(hi, band.max(axis=(1, 2)))
+    return hi
+
+
 def compute_global_norm_stats(image, config, band_rows: int):
     """Pass A: per-channel (thresh, denom, min, has_signal) for the
     banded normalization."""
     c, h, w = image.shape
     halo = halo_radius(config.blur)
-    hi = np.maximum(image.reshape(c, -1).max(axis=1).astype(np.float64), 1.0)
+    hi = _channel_hi(image)
     hi_dev = jnp.asarray(hi, jnp.float32)
+    # dtype-ceiling ranges (integer/streamed inputs) get finer bins so the
+    # percentile error stays ~1 intensity unit
+    bins = 65536 if np.issubdtype(np.dtype(image.dtype), np.integer) \
+        else HIST_BINS
 
-    hists = np.zeros((c, HIST_BINS), np.int64)
+    hists = np.zeros((c, bins), np.int64)
     gmax = np.full(c, -np.inf)
     gmin = np.full(c, np.inf)
     pos = np.zeros(c, np.int64)
@@ -87,7 +114,7 @@ def compute_global_norm_stats(image, config, band_rows: int):
                          mode="symmetric")
         pre = band_prenorm(jnp.asarray(band), blur=float(config.blur))
         interior = pre[:, s - lo : s - lo + (e - s)]
-        hist, bmax, bpos = band_stats(interior, hi_dev)
+        hist, bmax, bpos = band_stats(interior, hi_dev, bins=bins)
         bmin = jnp.min(interior, axis=(1, 2))
         hists += np.asarray(hist, np.int64)
         gmax = np.maximum(gmax, np.asarray(bmax, np.float64))
@@ -127,7 +154,8 @@ def run_image_tiled(
     if mask.ndim == 3:
         mask = mask[:, :, 0]
     mask = np.ascontiguousarray(mask).astype(np.int32)
-    image = np.asarray(image)
+    if not hasattr(image, "read_band"):  # streaming readers pass through
+        image = np.asarray(image)
     c, h, w = image.shape
 
     mesh = runner.mesh
@@ -150,9 +178,12 @@ def run_image_tiled(
         denom_d = jax.device_put(jnp.asarray(denom), rep)
         signal_d = jax.device_put(jnp.asarray(has_signal), rep)
     else:
-        min_val = jnp.asarray(
-            image.reshape(c, -1).min(axis=1).astype(np.float32)
-        )
+        if hasattr(image, "channel_min"):
+            min_val = jnp.asarray(image.channel_min())
+        else:
+            min_val = jnp.asarray(
+                image.reshape(c, -1).min(axis=1).astype(np.float32)
+            )
 
     ext = cell_extents(
         mask, prefer_native=getattr(config, "use_native_scanner", True)

@@ -1,0 +1,216 @@
+"""Streaming banded TIFF reader (ctypes over the system libtiff).
+
+The tiled device pipeline (engine/tiled.py) removes the HBM ceiling on
+slide size; this module removes the HOST-RAM ceiling: a whole-slide CHW
+TIFF stack is opened once and decoded row-band by row-band straight into
+the band buffers the pipeline uploads, so neither memory holds the full
+image. The reference (and our PIL path, io/tiff.py) decodes entire pages.
+
+Implementation: minimal ctypes bindings over libtiff's C ABI (TIFFOpen /
+TIFFSetDirectory / TIFFReadScanline); no Python imaging stack in the loop.
+Scanline reads require stripped, single-sample-per-pixel pages — the
+standard layout for multiplexed CHW stacks (including those written by
+io/tiff.write_tiff). Anything else (tiled TIFFs, RGB pages) falls back to
+the whole-image PIL path at open_image().
+
+The object quacks like the (C, H, W) ndarray the pipelines touch:
+``.shape``, ``.dtype``, ``.nbytes`` and ``reader[:, lo:hi]`` row-band
+slicing. It intentionally does NOT support full materialization implicitly.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import ctypes.util
+import threading
+
+import numpy as np
+
+# TIFF tag ids (TIFF 6.0 spec)
+TAG_IMAGEWIDTH = 256
+TAG_IMAGELENGTH = 257
+TAG_BITSPERSAMPLE = 258
+TAG_SAMPLESPERPIXEL = 277
+TAG_SAMPLEFORMAT = 339
+
+SAMPLEFORMAT_UINT = 1
+SAMPLEFORMAT_INT = 2
+SAMPLEFORMAT_IEEEFP = 3
+
+_DTYPES = {
+    (SAMPLEFORMAT_UINT, 8): np.uint8,
+    (SAMPLEFORMAT_UINT, 16): np.uint16,
+    (SAMPLEFORMAT_UINT, 32): np.uint32,
+    (SAMPLEFORMAT_INT, 8): np.int8,
+    (SAMPLEFORMAT_INT, 16): np.int16,
+    (SAMPLEFORMAT_INT, 32): np.int32,
+    (SAMPLEFORMAT_IEEEFP, 32): np.float32,
+    (SAMPLEFORMAT_IEEEFP, 64): np.float64,
+}
+
+_LIB = None
+_LIB_LOCK = threading.Lock()
+
+
+def _libtiff():
+    global _LIB
+    with _LIB_LOCK:
+        if _LIB is None:
+            name = ctypes.util.find_library("tiff")
+            if name is None:
+                raise OSError("libtiff not found")
+            lib = ctypes.CDLL(name)
+            lib.TIFFOpen.restype = ctypes.c_void_p
+            lib.TIFFOpen.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+            lib.TIFFClose.argtypes = [ctypes.c_void_p]
+            lib.TIFFSetDirectory.restype = ctypes.c_int
+            lib.TIFFSetDirectory.argtypes = [ctypes.c_void_p,
+                                             ctypes.c_uint16]
+            lib.TIFFNumberOfDirectories.restype = ctypes.c_uint16
+            lib.TIFFNumberOfDirectories.argtypes = [ctypes.c_void_p]
+            lib.TIFFIsTiled.restype = ctypes.c_int
+            lib.TIFFIsTiled.argtypes = [ctypes.c_void_p]
+            lib.TIFFReadScanline.restype = ctypes.c_int
+            lib.TIFFReadScanline.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint32,
+                ctypes.c_uint16,
+            ]
+            # variadic TIFFGetField: declare per-call below
+            lib.TIFFGetField.restype = ctypes.c_int
+            # silence libtiff warning spam to stderr
+            lib.TIFFSetWarningHandler.restype = ctypes.c_void_p
+            lib.TIFFSetWarningHandler.argtypes = [ctypes.c_void_p]
+            lib.TIFFSetWarningHandler(None)
+            _LIB = lib
+        return _LIB
+
+
+def _get_u32(lib, tif, tag, default=None):
+    val = ctypes.c_uint32(0)
+    ok = lib.TIFFGetField(ctypes.c_void_p(tif), ctypes.c_uint32(tag),
+                          ctypes.byref(val))
+    if not ok:
+        if default is None:
+            raise ValueError(f"TIFF tag {tag} missing")
+        return default
+    return val.value
+
+
+def _get_u16(lib, tif, tag, default=None):
+    val = ctypes.c_uint16(0)
+    ok = lib.TIFFGetField(ctypes.c_void_p(tif), ctypes.c_uint32(tag),
+                          ctypes.byref(val))
+    if not ok:
+        if default is None:
+            raise ValueError(f"TIFF tag {tag} missing")
+        return default
+    return val.value
+
+
+class _BandSlicer:
+    def __init__(self, reader):
+        self._r = reader
+
+    def __getitem__(self, key):
+        chans, rows = key
+        if chans != slice(None):
+            raise IndexError("only [:, lo:hi] band slicing is supported")
+        lo = rows.start or 0
+        hi = rows.stop if rows.stop is not None else self._r.shape[1]
+        return self._r.read_band(lo, hi)
+
+
+class TiffBandReader:
+    """Row-band access to a multi-page (CHW) TIFF without full decode."""
+
+    def __init__(self, path: str):
+        self._lib = _libtiff()
+        self._path = path
+        self._tif = self._lib.TIFFOpen(path.encode(), b"r")
+        if not self._tif:
+            raise OSError(f"TIFFOpen failed for {path}")
+        lib, tif = self._lib, self._tif
+        if lib.TIFFIsTiled(ctypes.c_void_p(tif)):
+            raise ValueError("tiled TIFF layout (use the PIL path)")
+        n_pages = lib.TIFFNumberOfDirectories(ctypes.c_void_p(tif))
+        w = _get_u32(lib, tif, TAG_IMAGEWIDTH)
+        h = _get_u32(lib, tif, TAG_IMAGELENGTH)
+        bits = _get_u16(lib, tif, TAG_BITSPERSAMPLE, 8)
+        spp = _get_u16(lib, tif, TAG_SAMPLESPERPIXEL, 1)
+        fmt = _get_u16(lib, tif, TAG_SAMPLEFORMAT, SAMPLEFORMAT_UINT)
+        if spp != 1:
+            raise ValueError("multi-sample pages (use the PIL path)")
+        if (fmt, bits) not in _DTYPES:
+            raise ValueError(f"unsupported sample format {fmt}/{bits}")
+        self.dtype = np.dtype(_DTYPES[(fmt, bits)])
+        self.shape = (int(n_pages), int(h), int(w))
+        self._lock = threading.Lock()
+
+    @property
+    def nbytes(self) -> int:
+        return int(np.prod(self.shape)) * self.dtype.itemsize
+
+    def read_band(self, lo: int, hi: int) -> np.ndarray:
+        """Decode rows [lo, hi) of every page -> (C, hi-lo, W) ndarray."""
+        c, h, w = self.shape
+        lo = max(int(lo), 0)
+        hi = min(int(hi), h)
+        out = np.empty((c, hi - lo, w), self.dtype)
+        lib, tif = self._lib, self._tif
+        with self._lock:
+            for page in range(c):
+                if not lib.TIFFSetDirectory(ctypes.c_void_p(tif), page):
+                    raise OSError(f"TIFFSetDirectory({page}) failed")
+                buf = out[page]
+                for i, row in enumerate(range(lo, hi)):
+                    ok = lib.TIFFReadScanline(
+                        ctypes.c_void_p(tif),
+                        buf[i].ctypes.data_as(ctypes.c_void_p),
+                        ctypes.c_uint32(row), 0,
+                    )
+                    if ok != 1:
+                        raise OSError(
+                            f"TIFFReadScanline(page={page}, row={row}) failed"
+                        )
+        return out
+
+    def __getitem__(self, key):
+        return _BandSlicer(self)[key]
+
+    def channel_min(self) -> np.ndarray:
+        """Streamed per-channel minimum (for the normalize=False path)."""
+        c, h, w = self.shape
+        mins = np.full(c, np.inf)
+        step = max(1, (64 << 20) // max(w * c * self.dtype.itemsize, 1))
+        for lo in range(0, h, step):
+            band = self.read_band(lo, min(lo + step, h))
+            mins = np.minimum(mins, band.min(axis=(1, 2)))
+        return mins.astype(np.float32)
+
+    def close(self):
+        if getattr(self, "_tif", None):
+            self._lib.TIFFClose(ctypes.c_void_p(self._tif))
+            self._tif = None
+
+    def __del__(self):  # pragma: no cover
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+def open_image(path: str, host_budget_bytes: int = 8 << 30):
+    """ndarray for ordinary images; a TiffBandReader for whole-slide TIFF
+    stacks whose decoded size exceeds ``host_budget_bytes`` (falls back to
+    the full PIL read when streaming isn't possible)."""
+    from ribca_tpu.io.tiff import read_image
+
+    if path.lower().endswith((".tif", ".tiff", ".qptiff")):
+        try:
+            reader = TiffBandReader(path)
+        except (OSError, ValueError):
+            return read_image(path)
+        if reader.nbytes > host_budget_bytes:
+            return reader
+        reader.close()
+    return read_image(path)

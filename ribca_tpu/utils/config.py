@@ -64,6 +64,9 @@ class AnnotatorConfig:
     # persistent XLA compile cache (cold-start compiles are expensive,
     # minutes on remote-compiled TPU); "" disables
     compile_cache_dir: str = "~/.cache/ribca_tpu/xla"
+    # TIFF stacks above this decoded size stream from disk band-by-band
+    # (io/tiff_stream.py) instead of materializing in host RAM
+    host_image_budget_bytes: int = 8 << 30
 
     def __post_init__(self):
         if self.cell_type_confidence is None:
