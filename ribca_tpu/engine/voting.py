@@ -139,7 +139,7 @@ def _single_panel_merge(
     fallback = np.full(len(arg), confidence_thresh, np.float32)
     thresh = _thresholds(arg, override, fallback, strict_positive=True)
 
-    is_others = np.asarray([names[a] == "Others" for a in arg])
+    is_others = np.asarray([names[a] == "Others" for a in arg], dtype=bool)
     accept = is_others | (best >= thresh)
     name_arr = np.asarray(names, dtype=object)[arg]
     labels = np.where(accept, name_arr, "Others")
