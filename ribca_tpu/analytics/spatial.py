@@ -183,7 +183,10 @@ def multiscale_composition(
         kk = min(k, kmax)
         counts = cum[:, kk - 1] if kk >= 1 else np.zeros((n, n_types))
         total = counts.sum(axis=1, keepdims=True)
-        feats.append(np.divide(counts, total, where=total > 0))
+        feats.append(
+            np.divide(counts, total, out=np.zeros_like(counts),
+                      where=total > 0)
+        )
     return np.concatenate(feats, axis=1)
 
 

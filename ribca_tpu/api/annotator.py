@@ -84,8 +84,14 @@ class Annotator:
         self.channel_parser.parse(config.marker_file)
 
         _enable_compile_cache(config.compile_cache_dir)
-        self.registry = ModelRegistry(models_dir, logger=self.logger)
-        self.mesh = mesh if mesh is not None else get_mesh()
+        self.registry = ModelRegistry(
+            models_dir, logger=self.logger,
+            allow_random=config.allow_random_weights,
+        )
+        self.mesh = (
+            mesh if mesh is not None
+            else get_mesh(platform=config.device or None)
+        )
 
         self.confidence_thresh = config.confidence
         self.cell_type_confidence = dict(config.cell_type_confidence)
@@ -183,9 +189,16 @@ class Annotator:
         runner = self._ensure_runner()
         cfg = self.config
         if batch_size:
-            # reference bs semantics: device sub-batch size; our chunk size
+            # reference bs semantics: a GPU micro-batch (default 128,
+            # main.py:88). Naively mapping it to our dispatch size would
+            # replace the tuned 65k-cell chunks with thousands of tiny
+            # dispatches, so bs only LOWERS the chunk below a 4096 floor
+            # when the user genuinely asks for less memory than that.
             cfg = AnnotatorConfig(**{
-                **cfg.to_dict(), "chunk_cells": max(int(batch_size), 1)
+                **cfg.to_dict(),
+                "chunk_cells": min(
+                    cfg.chunk_cells, max(int(batch_size), 4096)
+                ),
             })
 
         if not self._image_paths:
@@ -196,6 +209,41 @@ class Annotator:
             import jax
 
             jax.profiler.start_trace(cfg.profile_dir)
+        try:
+            self._predict_images(cfg, runner)
+        finally:
+            if profiling:
+                import jax
+
+                jax.profiler.stop_trace()
+                self.logger.log(
+                    f"Profiler trace written to {cfg.profile_dir}"
+                )
+        self.logger.log(
+            "Finished predicting cell types and tissue structures."
+        )
+
+        with self.logger.stage("voting.merge"):
+            self.merge_by_voting()
+
+        # unique types, Others forced last (model.py:455-458)
+        uniq = set()
+        for labels in self.annotations:
+            uniq.update(labels)
+        cts = np.sort(np.array(list(uniq)))
+        cts = np.delete(cts, np.where(cts == "Others"))
+        self.cell_types = np.append(cts, "Others")
+        self.colors = get_colors(len(self.cell_types))
+        color_legend(
+            self.result_dir,
+            {
+                str(self.cell_types[i]): rgb_to_hex(self.colors[i])
+                for i in range(len(self.cell_types))
+            },
+        )
+        self._build_annotations_all()
+
+    def _predict_images(self, cfg, runner) -> None:
 
         # decode image i+1 on a host thread while image i runs on device
         # (the reference's only batch overlap was disk .pt files; here the
@@ -229,32 +277,6 @@ class Annotator:
                     f"Processed {os.path.basename(img_path)}: "
                     f"{record.n_cells} cells"
                 )
-        if profiling:
-            import jax
-
-            jax.profiler.stop_trace()
-            self.logger.log(f"Profiler trace written to {cfg.profile_dir}")
-        self.logger.log("Finished predicting cell types and tissue structures.")
-
-        with self.logger.stage("voting.merge"):
-            self.merge_by_voting()
-
-        # unique types, Others forced last (model.py:455-458)
-        uniq = set()
-        for labels in self.annotations:
-            uniq.update(labels)
-        cts = np.sort(np.array(list(uniq)))
-        cts = np.delete(cts, np.where(cts == "Others"))
-        self.cell_types = np.append(cts, "Others")
-        self.colors = get_colors(len(self.cell_types))
-        color_legend(
-            self.result_dir,
-            {
-                str(self.cell_types[i]): rgb_to_hex(self.colors[i])
-                for i in range(len(self.cell_types))
-            },
-        )
-        self._build_annotations_all()
 
     def merge_by_voting(self) -> None:
         self.annotations, self.confidence = [], []

@@ -65,7 +65,7 @@ def gui_run(
     # keyed by the TRUE cell ids (the reference keys i+1 assuming the mask
     # ids are 1..N contiguous, gui_api.py:38-42 — wrong for sparse masks;
     # identical for the contiguous masks its GUI produces)
-    intensity_dict = {0: np.zeros_like(intensity[0])}
+    intensity_dict = {0: np.zeros(intensity.shape[1], intensity.dtype)}
     for j, cid in enumerate(annotator.records[0].cell_ids):
         intensity_dict[int(cid)] = intensity[j]
     return intensity_dict, annotator.get_cell_type_names()

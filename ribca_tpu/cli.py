@@ -55,7 +55,7 @@ def run(config: AnnotatorConfig, bs: int, n_regions: int,
     _run_pipeline(annotator, bs, n_regions, reference_ordering)
 
     intensity = annotator.intensity_full[0]
-    intensity_dict = {0: np.zeros_like(intensity[0])}
+    intensity_dict = {0: np.zeros(intensity.shape[1], intensity.dtype)}
     for j, cid in enumerate(annotator.records[0].cell_ids):
         intensity_dict[int(cid)] = intensity[j]
     names = annotator.get_cell_type_names()

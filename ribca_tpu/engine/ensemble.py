@@ -226,10 +226,11 @@ class EnsembleRunner:
             probs = self.run_chunk(patches)
             for panel, arr in probs.items():
                 per_panel[panel].append(np.asarray(arr[:n_valid]))
+        n_cls = {s.panel: s.model.num_classes for s in self.specs}
         return {
             panel: (
                 np.concatenate(parts, axis=0)
-                if parts else np.zeros((0, 0), np.float32)
+                if parts else np.zeros((0, n_cls[panel]), np.float32)
             )
             for panel, parts in per_panel.items()
         }

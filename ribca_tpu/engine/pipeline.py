@@ -181,7 +181,11 @@ def run_image(
     panel_probs = {
         panel: (
             np.concatenate(parts, axis=0)
-            if parts else np.zeros((0, 0), np.float32)
+            if parts else np.zeros(
+                (0, next(s for s in runner.specs
+                         if s.panel == panel).model.num_classes),
+                np.float32,
+            )
         )
         for panel, parts in probs_parts.items()
     }

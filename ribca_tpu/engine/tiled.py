@@ -291,8 +291,10 @@ def run_image_tiled(
         }
         intensity = ((np.concatenate(int_parts, axis=0) + 1.0) / 2.0)[inv]
     else:
-        panel_probs = {s.panel: np.zeros((0, 0), np.float32)
-                       for s in runner.specs}
+        panel_probs = {
+            s.panel: np.zeros((0, s.model.num_classes), np.float32)
+            for s in runner.specs
+        }
         intensity = np.zeros((0, c), np.float32)
 
     return ImageRecord(

@@ -143,7 +143,24 @@ class TiffBandReader:
         if (fmt, bits) not in _DTYPES:
             raise ValueError(f"unsupported sample format {fmt}/{bits}")
         self.dtype = np.dtype(_DTYPES[(fmt, bits)])
-        self.shape = (int(n_pages), int(h), int(w))
+        # channels = the directories matching the first page's geometry;
+        # pyramidal QPTIFF/OME files also carry thumbnails and reduced-
+        # resolution levels, which the PIL path filters the same way
+        # (io/tiff.py:45-49)
+        self._dirs: list[int] = []
+        for page in range(int(n_pages)):
+            if not lib.TIFFSetDirectory(ctypes.c_void_p(tif), page):
+                break
+            pw = _get_u32(lib, tif, TAG_IMAGEWIDTH, 0)
+            ph = _get_u32(lib, tif, TAG_IMAGELENGTH, 0)
+            pb = _get_u16(lib, tif, TAG_BITSPERSAMPLE, 8)
+            ps = _get_u16(lib, tif, TAG_SAMPLESPERPIXEL, 1)
+            tiled = lib.TIFFIsTiled(ctypes.c_void_p(tif))
+            if (pw, ph, pb, ps) == (w, h, bits, 1) and not tiled:
+                self._dirs.append(page)
+        if not self._dirs:
+            raise ValueError("no readable full-resolution pages")
+        self.shape = (len(self._dirs), int(h), int(w))
         self._lock = threading.Lock()
 
     @property
@@ -158,10 +175,10 @@ class TiffBandReader:
         out = np.empty((c, hi - lo, w), self.dtype)
         lib, tif = self._lib, self._tif
         with self._lock:
-            for page in range(c):
+            for chan, page in enumerate(self._dirs):
                 if not lib.TIFFSetDirectory(ctypes.c_void_p(tif), page):
                     raise OSError(f"TIFFSetDirectory({page}) failed")
-                buf = out[page]
+                buf = out[chan]
                 for i, row in enumerate(range(lo, hi)):
                     ok = lib.TIFFReadScanline(
                         ctypes.c_void_p(tif),

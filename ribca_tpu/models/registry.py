@@ -54,6 +54,21 @@ class ModelRegistry:
         if self.logger is not None:
             self.logger.log(msg)
 
+    def _warn_random(self, what: str) -> None:
+        """Missing weights are easy to miss in log.txt alone; also shout
+        to stderr so a misconfigured models_dir is visible at the console
+        (review finding: a 'successful' run with random weights)."""
+        import sys
+
+        msg = (
+            f"WARNING: {what} weights not found in {self.models_dir}; "
+            "using RANDOM initialization — annotations will be "
+            "meaningless. Run ribca_tpu.models.download or set "
+            "allow_random_weights=False to make this fatal."
+        )
+        self._log(msg)
+        print(msg, file=sys.stderr)
+
     def _resolve(self, basename: str, is_mae: bool):
         npz = os.path.join(self.models_dir, f"{basename}.npz")
         if os.path.exists(npz):
@@ -84,10 +99,7 @@ class ModelRegistry:
             if not self.allow_random:
                 self._log(f"{panel} classifier weights not found")
                 return None
-            self._log(
-                f"WARNING: {panel} classifier weights not found; using "
-                "RANDOM initialization (annotations will be meaningless)"
-            )
+            self._warn_random(f"{panel} classifier")
             params = init_params_np(build_panel_model(panel), seed=0)
         self._cache[key] = params
         return params
@@ -102,10 +114,7 @@ class ModelRegistry:
             if not self.allow_random:
                 self._log(f"{panel} imputer weights not found")
                 return None
-            self._log(
-                f"WARNING: {panel} imputer weights not found; using RANDOM "
-                "initialization (imputed channels will be noise)"
-            )
+            self._warn_random(f"{panel} imputer")
             model = build_imputer_model(panel)
             import jax
             import numpy as np

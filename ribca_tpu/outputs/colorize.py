@@ -70,12 +70,19 @@ def colorize_image(
 
     if tissue_regions is not None and tissue_colors is not None:
         tissue_palette = np.asarray(tissue_colors, dtype=np.uint8)
+        n_regions = len(tissue_palette) - 1  # last entry is the gray slot
         t_rgb = np.zeros((n, 3), dtype=np.uint8)
         t_lab = np.zeros(n, dtype=np.uint8)
         for cid in cell_ids:
             region = tissue_regions[int(cid)]
-            t_rgb[cid] = tissue_palette[region]
-            t_lab[cid] = region + 1
+            if region < 0:
+                # HDBSCAN noise: paint the reserved gray, give it a label
+                # distinct from both background (0) and real regions
+                t_rgb[cid] = GRAY
+                t_lab[cid] = n_regions + 1
+            else:
+                t_rgb[cid] = tissue_palette[region]
+                t_lab[cid] = region + 1
         out["tissue_rgb"] = _lut_paint(mask, t_rgb)
         out["tissue_labels"] = _lut_paint(mask, t_lab)
 

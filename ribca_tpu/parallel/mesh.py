@@ -26,9 +26,22 @@ DATA_AXIS = "cells"
 
 
 @functools.lru_cache(maxsize=8)
-def get_mesh(n_devices: int | None = None) -> Mesh:
-    """1-D mesh over the first ``n_devices`` (default: all) devices."""
-    devices = jax.devices()
+def get_mesh(n_devices: int | None = None,
+             platform: str | None = None) -> Mesh:
+    """1-D mesh over the first ``n_devices`` (default: all) devices.
+
+    ``platform`` honors the user's device choice ('tpu' | 'cpu', the
+    config/CLI/GUI knob); an unavailable platform falls back to the
+    default backend ('cuda' from reference-style configs maps there too).
+    """
+    devices = None
+    if platform and platform not in ("cuda", "gpu"):
+        try:
+            devices = jax.devices(platform)
+        except RuntimeError:
+            devices = None
+    if devices is None:
+        devices = jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (DATA_AXIS,))

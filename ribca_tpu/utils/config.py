@@ -67,6 +67,9 @@ class AnnotatorConfig:
     # TIFF stacks above this decoded size stream from disk band-by-band
     # (io/tiff_stream.py) instead of materializing in host RAM
     host_image_budget_bytes: int = 8 << 30
+    # run with random-initialized weights when checkpoints are missing
+    # (loudly logged + stderr warning); False makes missing weights fatal
+    allow_random_weights: bool = True
 
     def __post_init__(self):
         if self.cell_type_confidence is None:
