@@ -43,6 +43,7 @@ def run(config: AnnotatorConfig, bs: int, n_regions: int,
         reference_ordering: bool = False):
     """Single-image mode: writes a 1-row images.csv then delegates
     (main.py:9-36); returns ({cell_id: intensity_vector}, legend text)."""
+    os.makedirs(config.main_dir, exist_ok=True)
     csv_path = os.path.join(config.main_dir, "images.csv")
     write_manifest([(config.image_path, config.mask_path)], csv_path)
     config = AnnotatorConfig(**{
