@@ -1,27 +1,46 @@
-"""Benchmark: ensemble patch-inference throughput (cells/sec/chip).
+"""Benchmark: both north-star metrics (BASELINE.json) plus the MAE path.
 
-North-star metric from BASELINE.md: cells/sec through the full-panel
-ensemble (immune_full ViT-l + structure ViT-s + nerve ViT-tiny, the
-reference's heaviest configuration, model.py:188-239) on one chip.
+Metrics (all on one chip):
 
-Measurement methodology (robust to remote/tunneled devices where
+1. ``ensemble_inference_throughput`` — cells/sec through the full-panel
+   ensemble (immune_full ViT-l + structure ViT-s + nerve ViT-tiny, the
+   reference's heaviest head set, model.py:188-239), imputation off. This
+   is the primary metric of the printed JSON line.
+2. ``ensemble_infer_throughput`` — the same ensemble with the immune_full
+   MAE imputer active (two markers missing, within the panel's budget of
+   3): measures the heaviest model in the repo (768-wide MAE encoder +
+   512-wide decoder, markerImputer.py:294-329) fused into the ensemble
+   program.
+3. ``e2e_single_image_seconds`` — end-to-end single-image wall time on
+   the BASELINE.md scenario: synthetic 3000x3000x7 uint16 image with
+   ~20k cells, immune_base panel, full CLI pipeline (read + preprocess +
+   predict + vote + heatmap + regions + neighborhood + export + colorize
+   + composition, main.py:19-27) with reference defaults; warm-cache run
+   is reported (cold-run compile time is logged separately in stderr).
+
+Measurement methodology for 1-2 (robust to remote/tunneled devices where
 dispatches are asynchronous and host wall-clock around un-fetched results
 is meaningless): the ensemble step is wrapped in a ``lax.fori_loop`` whose
 carry feeds each iteration's input from the previous iteration's output,
 forcing N strictly sequential executions inside ONE executable; timing the
 difference between an N2-iteration and an N1-iteration run cancels
 constant dispatch/fetch overheads. Patches are generated on device (no
-host->device transfer in the timed path, matching production where
-patches are extracted on device from the uploaded image).
+host->device transfer in the timed path). Metric 3 is a real wall-clock:
+every pipeline stage materializes host-side outputs, so the clock cannot
+run ahead of the device.
 
-The reference repo publishes no numbers (BASELINE.md), so the baseline is
-MEASURED: the same ensemble workload through torch at the reference's
-default batch size 128 (main.py:88) on this host's CPU — the only platform
-the reference can run on here — using the independent torch mirror models
-from tests/torch_mirror.py. Cached in BENCH_BASELINE.json. ``vs_baseline``
-is ours / baseline (higher is better).
+The reference repo publishes no numbers (BASELINE.md), so baselines are
+MEASURED: the same workloads through torch at the reference's default
+batch sizes (bs=128 inference, 64-per-forward MAE; main.py:88,
+preprocess.py:129) on this host's CPU — the only platform the reference
+can run on here — using the independent torch mirrors from
+tests/torch_mirror.py. Cached in BENCH_BASELINE.json. ``vs_baseline`` is
+ours / baseline for throughputs and baseline / ours for the e2e time
+(higher is better for all).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: the primary metric's {"metric", "value", "unit",
+"vs_baseline"} plus an "extra" list carrying the other two metrics in the
+same shape.
 """
 
 from __future__ import annotations
@@ -33,45 +52,56 @@ import time
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
 
-BASELINE_CACHE = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json"
-)
+BASELINE_CACHE = os.path.join(REPO, "BENCH_BASELINE.json")
 CHUNK = int(os.environ.get("RIBCA_BENCH_CHUNK", 4096))
 N1, N2 = 2, 12
+E2E_DIR = os.environ.get("RIBCA_BENCH_E2E_DIR", "/tmp/ribca_bench_e2e")
+E2E_SIZE = 3000
+E2E_CELLS = 20000
 
 
-def measure_tpu() -> float:
+def _build_runner(infer: bool):
+    """Full-panel EnsembleRunner; with ``infer`` the immune_full parse is
+    missing two markers so the MAE imputer joins the fused program."""
+    import tempfile
+
+    import jax.numpy as jnp
+
+    from ribca_tpu.engine.ensemble import EnsembleRunner
+    from ribca_tpu.models.registry import ModelRegistry
+    from ribca_tpu.panels.parser import MarkerParser
+    from ribca_tpu.panels.vocab import PANELS
+    from ribca_tpu.parallel.mesh import get_mesh
+
+    markers = sorted({m for v in PANELS.values() for m in v})
+    if infer:
+        # exclusive to immune_full; 2 missing <= budget 3 (markerParse.py:33)
+        markers = [m for m in markers if m not in ("Granzyme B", "Trypase")]
+    with tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False) as f:
+        f.write("\n".join(markers) + "\n")
+    parser = MarkerParser(strict=not infer)
+    parser.parse(f.name)
+
+    registry = ModelRegistry("/nonexistent-use-random", allow_random=True)
+    runner = EnsembleRunner(
+        parser, registry, n_channels=len(markers), infer=infer,
+        dtype=jnp.bfloat16, mesh=get_mesh(),
+    )
+    if infer and not any(s.imputer is not None for s in runner.specs):
+        raise RuntimeError("imputer path not active; nothing to measure")
+    return runner, len(markers)
+
+
+def _chained_throughput(runner, n_channels: int) -> float:
+    """cells/sec through the runner's fused forward, chained-loop timed."""
     import jax
     import jax.numpy as jnp
     from jax import lax
 
-    from __graft_entry__ import _combined_marker_parse
-    from ribca_tpu.engine.ensemble import EnsembleRunner
-    from ribca_tpu.models.registry import ModelRegistry
-    from ribca_tpu.parallel.mesh import get_mesh
-
-    mesh = get_mesh()
-    parser, n_channels = _combined_marker_parse()
-    registry = ModelRegistry("/nonexistent-use-random", allow_random=True)
-    runner = EnsembleRunner(
-        parser, registry, n_channels=n_channels, infer=False,
-        dtype=jnp.bfloat16, mesh=mesh,
-    )
     params, imp = runner._params_on_device()
-    specs = runner.specs
-
-    def ensemble(patches, params, imp):
-        # same body the runner compiles (engine/ensemble.py)
-        from ribca_tpu.ops.patches import apply_panel_gather
-
-        out = []
-        for s in specs:
-            x = apply_panel_gather(patches, s.gather)
-            logits = s.model.apply({"params": params[s.panel]}, x)
-            out.append(jax.nn.softmax(logits.astype(jnp.float32), -1))
-        return out
 
     @jax.jit
     def chained(key, n, params, imp):
@@ -81,8 +111,8 @@ def measure_tpu() -> float:
         )
 
         def body(i, carry):
-            probs = ensemble(patches + carry, params, imp)
-            return 1e-9 * sum(p.sum() for p in probs)
+            probs = runner.forward(patches + carry, params, imp)
+            return 1e-9 * sum(p.sum() for p in probs.values())
 
         return lax.fori_loop(0, n, body, jnp.float32(0.0))
 
@@ -107,16 +137,86 @@ def measure_tpu() -> float:
     return CHUNK * (N2 - N1) / dt
 
 
-def measure_torch_baseline() -> float:
+def measure_tpu() -> float:
+    runner, n_channels = _build_runner(infer=False)
+    return _chained_throughput(runner, n_channels)
+
+
+def measure_tpu_infer() -> float:
+    runner, n_channels = _build_runner(infer=True)
+    return _chained_throughput(runner, n_channels)
+
+
+def _e2e_fixture():
+    """Synthetic 3000x3000x7 uint16 slide with ~20k cells (cached)."""
+    from PIL import Image
+
+    from ribca_tpu.io import write_tiff
+    from ribca_tpu.panels.vocab import PANELS
+    from tests.synth import make_cells, make_image
+
+    os.makedirs(E2E_DIR, exist_ok=True)
+    img_path = os.path.join(E2E_DIR, "slide.tif")
+    mask_path = os.path.join(E2E_DIR, "mask.png")
+    marker_path = os.path.join(E2E_DIR, "markers.txt")
+    if not (os.path.exists(img_path) and os.path.exists(mask_path)):
+        mask, _ = make_cells(
+            h=E2E_SIZE, w=E2E_SIZE, n_cells=E2E_CELLS, radius=8, seed=0
+        )
+        img = make_image(mask, n_channels=7, seed=0)
+        write_tiff(img_path, img)
+        Image.fromarray(mask.astype(np.uint16)).save(mask_path)
+    with open(marker_path, "w") as f:
+        f.write("\n".join(PANELS["immune_base"]) + "\n")
+    return marker_path, img_path, mask_path
+
+
+def measure_e2e() -> tuple[float, int]:
+    """(warm wall seconds, n_cells) for the full single-image CLI flow."""
+    import shutil
+    import tempfile
+
+    from ribca_tpu import cli
+    from ribca_tpu.utils.config import AnnotatorConfig
+
+    marker_path, img_path, mask_path = _e2e_fixture()
+
+    def once():
+        run_dir = tempfile.mkdtemp(prefix="ribca_bench_run_")
+        config = AnnotatorConfig(
+            marker_file=marker_path, image_path=img_path,
+            mask_path=mask_path, main_dir=run_dir, batch_id="bench",
+            strict=True, infer=False,
+        )
+        t0 = time.perf_counter()
+        cli.run(config, bs=config.batch_size,
+                n_regions=config.n_regions)
+        dt = time.perf_counter() - t0
+        shutil.rmtree(run_dir, ignore_errors=True)
+        return dt
+
+    cold = once()  # compiles (persistent cache makes reruns cheap)
+    warm = once()
+    print(f"e2e cold={cold:.1f}s warm={warm:.1f}s", file=sys.stderr)
+    return warm, E2E_CELLS
+
+
+def _measure_torch_baselines() -> dict:
+    """Measured torch-CPU reference-equivalents (cached across runs)."""
+    cached = {}
     if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:
-            return json.load(f)["cells_per_sec"]
+            cached = json.load(f)
+    needed = {"cells_per_sec", "infer_cells_per_sec", "base_cells_per_sec"}
+    if needed <= set(cached):
+        return cached
 
     import torch
 
-    from tests.torch_mirror import TorchViT
+    from tests.torch_mirror import TorchMAE, TorchViT
 
     torch.manual_seed(0)
+    bs = 128  # reference default (main.py:88)
     heads = [
         TorchViT(in_chans=15, num_classes=12, dim=576),  # immune_full
         TorchViT(in_chans=7, num_classes=6, dim=288),    # structure
@@ -124,35 +224,93 @@ def measure_torch_baseline() -> float:
     ]
     for h in heads:
         h.eval()
-    bs = 128  # reference default (main.py:88)
-    n_batches = 2
     x15 = torch.randn(bs, 15, 40, 40)
-    with torch.no_grad():
-        for h, c in zip(heads, (15, 7, 3)):  # warmup
-            h(x15[:, :c])
-        t0 = time.perf_counter()
-        for _ in range(n_batches):
-            for h, c in zip(heads, (15, 7, 3)):
-                torch.softmax(h(x15[:, :c]), dim=1)
-        dt = time.perf_counter() - t0
-    cells_per_sec = bs * n_batches / dt
+
+    def time_ensemble():
+        n_batches = 2
+        with torch.no_grad():
+            for h, c in zip(heads, (15, 7, 3)):  # warmup
+                h(x15[:, :c])
+            t0 = time.perf_counter()
+            for _ in range(n_batches):
+                for h, c in zip(heads, (15, 7, 3)):
+                    torch.softmax(h(x15[:, :c]), dim=1)
+            return bs * n_batches / (time.perf_counter() - t0)
+
+    def time_mae():
+        # immune_full mosaic (3,5) -> 120x200, reference-internal bs=64
+        # (preprocess.py:129); 13 of 15 tokens kept (2 markers imputed)
+        mae = TorchMAE(img_size=(120, 200))
+        mae.eval()
+        mb = 64
+        imgs = torch.randn(mb, 1, 120, 200)
+        ids_keep = torch.arange(13)
+        ids_restore = torch.arange(15)
+        with torch.no_grad():
+            mae(imgs, ids_keep, ids_restore)  # warmup
+            t0 = time.perf_counter()
+            mae(imgs, ids_keep, ids_restore)
+            return mb / (time.perf_counter() - t0)
+
+    def time_base():
+        base = TorchViT(in_chans=7, num_classes=5, dim=288)  # immune_base
+        base.eval()
+        n_batches = 4
+        x7 = torch.randn(bs, 7, 40, 40)
+        with torch.no_grad():
+            base(x7)  # warmup
+            t0 = time.perf_counter()
+            for _ in range(n_batches):
+                torch.softmax(base(x7), dim=1)
+            return bs * n_batches / (time.perf_counter() - t0)
+
+    ens = cached.get("cells_per_sec") or time_ensemble()
+    mae_rate = time_mae()
+    # with imputation on, every cell pays one MAE forward plus the ensemble
+    infer_rate = 1.0 / (1.0 / ens + 1.0 / mae_rate)
+    cached = {
+        "cells_per_sec": ens,
+        "infer_cells_per_sec": infer_rate,
+        "mae_cells_per_sec": mae_rate,
+        "base_cells_per_sec": time_base(),
+        "platform": "torch-cpu",
+        "batch_size": bs,
+    }
     with open(BASELINE_CACHE, "w") as f:
-        json.dump(
-            {"cells_per_sec": cells_per_sec, "platform": "torch-cpu",
-             "batch_size": bs},
-            f,
-        )
-    return cells_per_sec
+        json.dump(cached, f)
+    return cached
 
 
 def main():
-    baseline = measure_torch_baseline()
+    baseline = _measure_torch_baselines()
     ours = measure_tpu()
+    infer_ours = measure_tpu_infer()
+    e2e_seconds, n_cells = measure_e2e()
+    # the baseline e2e estimate charges the reference only its model
+    # forwards (immune_base head at torch-CPU rate) — no preprocess or
+    # analytics cost — i.e. a conservative lower bound on its wall time
+    e2e_baseline = n_cells / baseline["base_cells_per_sec"]
     print(json.dumps({
         "metric": "ensemble_inference_throughput",
         "value": round(ours, 1),
         "unit": "cells/sec/chip",
-        "vs_baseline": round(ours / baseline, 2),
+        "vs_baseline": round(ours / baseline["cells_per_sec"], 2),
+        "extra": [
+            {
+                "metric": "ensemble_infer_throughput",
+                "value": round(infer_ours, 1),
+                "unit": "cells/sec/chip",
+                "vs_baseline": round(
+                    infer_ours / baseline["infer_cells_per_sec"], 2
+                ),
+            },
+            {
+                "metric": "e2e_single_image_wall",
+                "value": round(e2e_seconds, 2),
+                "unit": "seconds",
+                "vs_baseline": round(e2e_baseline / e2e_seconds, 2),
+            },
+        ],
     }))
 
 

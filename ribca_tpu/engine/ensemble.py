@@ -172,6 +172,9 @@ class EnsembleRunner:
 
         data = cell_sharding(self.mesh)
         rep = replicated_sharding(self.mesh)
+        # unjitted body, composable inside larger jitted programs (bench.py
+        # chains it through a fori_loop; tiled.py could fuse it per band)
+        self.forward = run
         return jax.jit(
             run,
             in_shardings=(data, rep, rep),

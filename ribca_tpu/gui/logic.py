@@ -21,9 +21,26 @@ from ribca_tpu.io.metadata import extract_markers, write_marker_txt
 
 WORKING_DIR_NAME = "_working_dir_temp"
 
+# canonical napari layer names (reference _widget.py:670,797)
+IMAGE_LAYER_NAME = "multiplexed_image"
+MASK_LAYER_NAME = "cell_mask"
+
+# magicgui widget options of the params panel, field by field
+# (reference _widget.py:505-518; 'tpu' replaces 'cuda' as the accelerator)
+PANEL_WIDGET_OPTIONS: dict[str, dict] = {
+    "device": {"choices": ["tpu", "cpu"]},
+    "batch_size": {"min": 1, "max": 10000, "step": 16},
+    "blur": {"widget_type": "FloatSlider", "min": 0.0, "max": 1.0},
+    "upper_limit": {"widget_type": "FloatSlider", "min": 95.0, "max": 100.0},
+    "cell_size": {"min": 1, "max": 100},
+    "min_cells": {"min": -1, "max": 10000},
+    "n_regions": {"min": -1, "max": 50},
+    "confidence": {"widget_type": "FloatSlider", "min": 0.0, "max": 1.0},
+}
+
 
 def default_params() -> dict:
-    """GUI field defaults (reference _widget.py:505-539)."""
+    """JSON-handoff defaults (reference gui_api.py:65-84 / main.py:56-112)."""
     return {
         "device": "tpu",
         "batch_size": 128,
@@ -39,6 +56,67 @@ def default_params() -> dict:
         "n_jobs": 0,
         "cell_type_confidence": None,
     }
+
+
+def panel_defaults() -> dict:
+    """Initial values of the single-image params panel. The reference GUI
+    seeds min_cells=50, n_regions=5, blur=0.4 (_widget.py:524-534) —
+    deliberately different from the job-API defaults."""
+    return {**default_params(), "min_cells": 50, "n_regions": 5,
+            "blur": 0.4}
+
+
+def layer_delete_updates(layer_name: str) -> dict:
+    """Field resets when a napari layer is deleted (_widget.py:850-858):
+    removing the image/mask layer clears the corresponding file pick."""
+    if layer_name == IMAGE_LAYER_NAME:
+        return {"image_file": None}
+    if layer_name == MASK_LAYER_NAME:
+        return {"mask_file": None}
+    return {}
+
+
+INTENSITY_PLACEHOLDER = (
+    "Cell-level expression intensity has been detected.\n"
+    "It will be displayed here.\n"
+    "PLEASE SELECT MASK LAYER TO USE THIS FUNCTION."
+)
+
+
+def format_intensity(markers, intensity) -> str:
+    """Per-cell intensity readout text (_widget.py:807-827): 4 significant
+    digits, comma-separated, newline every 5 markers, no trailing comma."""
+    if intensity is None:
+        return INTENSITY_PLACEHOLDER
+    txt = ""
+    for idx, marker in enumerate(markers):
+        txt += f"{marker}: {intensity[idx]:1.4}, "
+        if idx == len(markers) - 1:
+            txt = txt[:-2]
+        if idx > 0 and idx % 5 == 0:
+            txt += "\n"
+    return txt
+
+
+def collect_output_layers(working_dir: str) -> list:
+    """(array, layer_name) pairs from the worker's label-map handoff
+    (_widget.py:458-481): cell-type map, then tissue regions if present."""
+    import numpy as np
+    from PIL import Image
+
+    out = []
+    for fname, name in (("output_img.png", "cell_type_map"),
+                        ("output_img_2.png", "tissue_region")):
+        path = os.path.join(working_dir, fname)
+        if os.path.exists(path):
+            out.append((np.asarray(Image.open(path)), name))
+    return out
+
+
+def read_marker_names(marker_file: str) -> list[str]:
+    """Marker names for the intensity readout (one per line)."""
+    with open(marker_file) as f:
+        return [ln.strip() for ln in f if ln.strip()]
 
 
 def validate_single_params(marker_file, image_file, mask_file, main_dir):

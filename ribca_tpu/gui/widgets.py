@@ -45,6 +45,7 @@ class _BaseWidget(QWidget):  # pragma: no cover - Qt event plumbing
         super().__init__()
         self.viewer = viewer
         self.marker_file: str | None = None
+        self.markers: list[str] = []
         self.main_dir: str = os.getcwd()
         self.params = logic.default_params()
         self._layout = QVBoxLayout()
@@ -62,6 +63,7 @@ class _BaseWidget(QWidget):  # pragma: no cover - Qt event plumbing
 
     def _show_markers(self):
         if self.marker_file and os.path.isfile(self.marker_file):
+            self.markers = logic.read_marker_names(self.marker_file)
             with open(self.marker_file) as f:
                 self.marker_panel.setPlainText(f.read())
 
@@ -82,9 +84,15 @@ class GUIIntegrater(_BaseWidget):  # pragma: no cover - Qt event plumbing
 
     def __init__(self, viewer: "napari.viewer.Viewer"):
         super().__init__(viewer)
+        self.params = logic.panel_defaults()
         self.image_file: str | None = None
         self.mask_file: str | None = None
         self.intensity_dict: dict | None = None
+        # reset file picks when their layer is deleted (_widget.py:850-858)
+        try:
+            self.viewer.layers.events.removed.connect(self._handle_delete)
+        except AttributeError:
+            pass
 
         for text, cb in [
             ("Upload Image", self._add_image),
@@ -108,6 +116,17 @@ class GUIIntegrater(_BaseWidget):  # pragma: no cover - Qt event plumbing
 
     # -- callbacks ----------------------------------------------------------
 
+    def _handle_delete(self, event):
+        updates = logic.layer_delete_updates(
+            getattr(getattr(event, "value", None), "name", "")
+        )
+        if "image_file" in updates:
+            self.image_file = updates["image_file"]
+            show_info("Image layer removed; please re-upload an image")
+        if "mask_file" in updates:
+            self.mask_file = updates["mask_file"]
+            show_info("Mask layer removed; please re-upload a mask")
+
     def _add_image(self):
         path = self._pick_file("Select multiplexed image",
                                "*.tif *.tiff *.qptiff")
@@ -116,7 +135,13 @@ class GUIIntegrater(_BaseWidget):  # pragma: no cover - Qt event plumbing
         self.image_file = path
         from ribca_tpu.io import read_image
 
-        self.viewer.add_image(read_image(path), name=os.path.basename(path))
+        img = read_image(path)
+        name = logic.IMAGE_LAYER_NAME
+        if name in self.viewer.layers:
+            # re-upload updates in place (reference _widget.py:671-674)
+            self.viewer.layers[name].data = img
+        else:
+            self.viewer.add_image(img, name=name)
         auto = logic.auto_extract_markers(path, self.main_dir, batch=False)
         if auto:
             self.marker_file = auto
@@ -136,8 +161,13 @@ class GUIIntegrater(_BaseWidget):  # pragma: no cover - Qt event plumbing
         self.mask_file = path
         from ribca_tpu.io import read_mask
 
-        layer = self.viewer.add_labels(read_mask(path), name="cell mask")
-        layer.mouse_drag_callbacks.append(self._on_mask_click)
+        mask = read_mask(path)
+        name = logic.MASK_LAYER_NAME
+        if name in self.viewer.layers:
+            self.viewer.layers[name].data = mask
+        else:
+            layer = self.viewer.add_labels(mask, name=name)
+            layer.mouse_drag_callbacks.append(self._on_mask_click)
 
     def _set_main_dir(self):
         path = self._pick_dir("Select main directory")
@@ -153,9 +183,10 @@ class GUIIntegrater(_BaseWidget):  # pragma: no cover - Qt event plumbing
         except Exception:
             return
         vec = self.intensity_dict.get(cell)
-        if vec is not None:
-            vals = ", ".join(f"{v:.3f}" for v in np.asarray(vec))
-            self.intensity_panel.setText(f"Cell {cell}: [{vals}]")
+        markers = self.markers
+        if not markers and vec is not None:
+            markers = [f"ch{i}" for i in range(len(np.atleast_1d(vec)))]
+        self.intensity_panel.setText(logic.format_intensity(markers, vec))
 
     # -- run ----------------------------------------------------------------
 
@@ -164,12 +195,7 @@ class GUIIntegrater(_BaseWidget):  # pragma: no cover - Qt event plumbing
 
         @magicgui(
             call_button="Run",
-            device={"choices": ["tpu", "cpu"]},
-            blur={"widget_type": "FloatSlider", "min": 0.0, "max": 1.0},
-            upper_limit={"widget_type": "FloatSlider", "min": 90.0,
-                         "max": 100.0},
-            confidence={"widget_type": "FloatSlider", "min": 0.0,
-                        "max": 1.0},
+            **logic.PANEL_WIDGET_OPTIONS,
         )
         def panel(
             device: str = p["device"],
@@ -222,18 +248,8 @@ class GUIIntegrater(_BaseWidget):  # pragma: no cover - Qt event plumbing
     def _finished(self, wd, result):
         self.intensity_dict, legend = result
         self.legend_panel.setPlainText(legend)
-        from PIL import Image
-
-        out = os.path.join(wd, "output_img.png")
-        if os.path.exists(out):
-            self.viewer.add_labels(
-                np.asarray(Image.open(out)), name="cell_type_map"
-            )
-        out2 = os.path.join(wd, "output_img_2.png")
-        if os.path.exists(out2):
-            self.viewer.add_labels(
-                np.asarray(Image.open(out2)), name="tissue_region"
-            )
+        for data, name in logic.collect_output_layers(wd):
+            self.viewer.add_labels(data, name=name)
         shutil.rmtree(wd, ignore_errors=True)
         show_info("Annotation finished")
 
