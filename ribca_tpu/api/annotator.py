@@ -254,8 +254,16 @@ class Annotator:
             from ribca_tpu.io.tiff_stream import open_image
 
             img_path, mask_path = paths
+            # stream anything beyond stream_decode_bytes: the banded
+            # pipeline then overlaps decode with upload/compute inside the
+            # slide (bit-identical via the prenorm cache, engine/tiled.py)
             image = open_image(
-                img_path, host_budget_bytes=cfg.host_image_budget_bytes
+                img_path,
+                host_budget_bytes=min(
+                    cfg.host_image_budget_bytes,
+                    getattr(cfg, "stream_decode_bytes",
+                            cfg.host_image_budget_bytes),
+                ),
             )
             return image, read_mask(mask_path)
 
@@ -343,18 +351,20 @@ class Annotator:
         normalize: bool = True,
     ):
         """Reference default n_neighbors=25 via model.py:798."""
-        return neighborhood_analysis(
-            self._analytics_images(), self.cell_types,
-            n_neighbors=n_neighbors, integrate=integrate,
-            normalize=normalize, result_dir=self.result_dir,
-            batch_id=self.batch_id,
-        )
+        with self.logger.stage("analytics.neighborhood"):
+            return neighborhood_analysis(
+                self._analytics_images(), self.cell_types,
+                n_neighbors=n_neighbors, integrate=integrate,
+                normalize=normalize, result_dir=self.result_dir,
+                batch_id=self.batch_id,
+            )
 
     def tissue_region_analysis(self, n: int, method: str = "kmeans"):
         self.n_regions = n
-        self.tissue_regions = tissue_region_partition(
-            self._analytics_images(), n, self.n_jobs, method=method
-        )
+        with self.logger.stage("analytics.regions"):
+            self.tissue_regions = tissue_region_partition(
+                self._analytics_images(), n, self.n_jobs, method=method
+            )
         return self.tissue_regions
 
     # -- outputs ------------------------------------------------------------
@@ -362,6 +372,10 @@ class Annotator:
     def generate_heatmap(self, integrate: bool = False) -> None:
         if not self.annotations:
             raise ValueError("No annotations to generate heatmap")
+        with self.logger.stage("outputs.heatmap"):
+            self._generate_heatmap(integrate)
+
+    def _generate_heatmap(self, integrate: bool) -> None:
         markers = self.channel_parser.markers
         if integrate:
             labels = [x for lab in self.annotations for x in lab]
@@ -395,6 +409,10 @@ class Annotator:
     def export_annotations(self) -> None:
         if not self.annotations:
             raise ValueError("No annotations to export")
+        with self.logger.stage("outputs.export"):
+            self._export_annotations()
+
+    def _export_annotations(self) -> None:
         for i, rec in enumerate(self.records):
             path = os.path.join(
                 self.result_dir, f"{self.batch_id}_annotation_{i}.csv"
@@ -413,8 +431,6 @@ class Annotator:
         (model.py:806-858). ``from_script=False`` additionally writes the
         GUI label maps into ``working_dir`` (default
         <main_dir>/_working_dir_temp)."""
-        from PIL import Image
-
         if not self.records:
             raise ValueError("No masks to colorize")
         if not self.annotations:
@@ -425,6 +441,13 @@ class Annotator:
         )
         if working_dir is None:
             working_dir = os.path.join(self.main_dir, "_working_dir_temp")
+
+        with self.logger.stage("outputs.colorize"):
+            self._colorize(tindex, tissue_colors, from_script, working_dir)
+
+    def _colorize(self, tindex, tissue_colors, from_script,
+                  working_dir) -> None:
+        from PIL import Image
 
         for i, rec in enumerate(self.records):
             type_ids = np.asarray(
@@ -474,6 +497,11 @@ class Annotator:
     ) -> None:
         if not self.annotations:
             raise ValueError("No annotations to analyze")
+        with self.logger.stage("outputs.composition"):
+            self._cell_type_composition(reduction, integrate)
+
+    def _cell_type_composition(self, reduction: bool,
+                               integrate: bool) -> None:
         if integrate:
             labels = [x for lab in self.annotations for x in lab]
             composition_pie(

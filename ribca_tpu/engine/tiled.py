@@ -11,18 +11,28 @@ streams through the device in row bands:
   them into the global amax-percentile threshold, scale denominator,
   minimum, and has-signal flags — the reference's global normalization
   statistics (preprocess.py:229-238);
-* pass B (extract): each band re-runs the local steps, applies the global
-  scalars branchlessly (band_apply_scale), and feeds the band's cells
-  through the fused patch-extraction + ensemble programs with band-local
-  row addressing (ops/patches.extract_patches row_offset/full_h).
+* pass B (extract): each band applies the global scalars branchlessly
+  (band_apply_scale) and feeds the band's cells through the fused
+  patch-extraction + ensemble programs with band-local row addressing
+  (ops/patches.extract_patches row_offset/full_h).
 
 Cells are assigned to the band containing their window's top row, so a
 band of rows [s, e) extracts from rows [s, e + patch) — always resident.
 
-Exactness: bit-identical to the single-shot path except the percentile,
-which is histogram-approximated (HIST_BINS buckets; error <= max/8192 on
-the clip threshold only). Images under the HBM budget use the single-shot
-path automatically (engine/pipeline.py), so small inputs stay bit-exact.
+Single-upload cache mode: when the slide's f32 prenorm fits
+``config.device_prenorm_cache_bytes`` of HBM, pass A keeps every
+prenormed band ON DEVICE and computes the global statistics with the
+exact jnp.percentile math (ops/normalize.stats_from_pre_channel) over the
+cached pixels; pass B then assembles its extraction bands from the cache.
+Each band is decoded once, uploaded once (in the SOURCE dtype — half the
+tunnel bytes of f32), and prenormed once, and the result is bit-identical
+to the single-shot path. Band decode runs one band ahead on a host
+thread, so IO hides behind upload/compute within a single slide.
+
+Slides beyond the cache budget fall back to the two-pass flow, where the
+percentile is histogram-approximated (HIST_BINS buckets; error <=
+max/8192 on the clip threshold only). Images under the HBM budget use the
+single-shot path automatically (engine/pipeline.py).
 """
 
 from __future__ import annotations
@@ -42,6 +52,7 @@ from ribca_tpu.ops.normalize import (
     band_stats,
     halo_radius,
     percentile_from_hist,
+    stats_from_pre_channel,
 )
 from ribca_tpu.ops.patches import extract_patches
 from ribca_tpu.parallel.mesh import cell_sharding, replicated_sharding
@@ -49,6 +60,27 @@ from ribca_tpu.parallel.mesh import cell_sharding, replicated_sharding
 
 def _band_starts(h: int, band_rows: int) -> list[int]:
     return list(range(0, h, band_rows))
+
+
+def _prefetch_spans(image, spans):
+    """Yield ``image[:, lo:hi]`` for each (lo, hi) span, decoding one span
+    ahead on a host thread so IO overlaps device work (SURVEY §5 "host
+    pipeline overlap" — the reference reads whole pages synchronously)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def decode(span):
+        lo, hi = span
+        return np.asarray(image[:, lo:hi])
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        pending = pool.submit(decode, spans[0]) if spans else None
+        for i in range(len(spans)):
+            cur = pending.result()
+            pending = (
+                pool.submit(decode, spans[i + 1])
+                if i + 1 < len(spans) else None
+            )
+            yield cur
 
 
 def _pad_rows(arr: np.ndarray, rows: int, mode: str = "constant") -> np.ndarray:
@@ -106,12 +138,17 @@ def compute_global_norm_stats(image, config, band_rows: int):
     pos = np.zeros(c, np.int64)
 
     in_rows = band_rows + 2 * halo
-    for s in _band_starts(h, band_rows):
+    starts = _band_starts(h, band_rows)
+    spans = [
+        (max(s - halo, 0), min(min(s + band_rows, h) + halo, h))
+        for s in starts
+    ]
+    for s, raw in zip(starts, _prefetch_spans(image, spans)):
         e = min(s + band_rows, h)
         lo = max(s - halo, 0)
-        hi_row = min(e + halo, h)
-        band = _pad_rows(np.asarray(image[:, lo:hi_row], np.float32), in_rows,
-                         mode="symmetric")
+        # upload in the source dtype (half the tunnel bytes of f32);
+        # band_prenorm casts on device
+        band = _pad_rows(raw, in_rows, mode="symmetric")
         pre = band_prenorm(jnp.asarray(band), blur=float(config.blur))
         interior = pre[:, s - lo : s - lo + (e - s)]
         hist, bmax, bpos = band_stats(interior, hi_dev, bins=bins)
@@ -143,6 +180,90 @@ def compute_global_norm_stats(image, config, band_rows: int):
     )
 
 
+def prenorm_cached(image, config, band_rows: int):
+    """Pass A in single-upload cache mode.
+
+    Each band of rows is decoded once (decode-ahead thread) and uploaded
+    once in the SOURCE dtype over DISJOINT spans — Gaussian halo context is
+    assembled on device from the neighboring raw bands, so the wire
+    carries every pixel exactly once. The prenormed interiors stay in HBM
+    and the global normalization scalars are computed from them with the
+    EXACT jnp.percentile math (no histogram approximation — bit-identical
+    to the single-shot path).
+
+    Returns (bands, thresh, denom, scaled_min, has_signal); ``bands[b]``
+    is the prenormed (C, rows_b, W) interior of band b, device-resident.
+    """
+    c, h, w = image.shape
+    halo = halo_radius(config.blur)
+    in_rows = band_rows + 2 * halo
+    starts = _band_starts(h, band_rows)
+    spans = [(s, min(s + band_rows, h)) for s in starts]
+    n_b = len(spans)
+    raw: list = [None] * n_b
+    bands: list = [None] * n_b
+    blur = float(config.blur)
+
+    def prenorm_one(i: int) -> None:
+        s, e = spans[i]
+        top = raw[i - 1][:, -halo:] if (i > 0 and halo) else None
+        bot = raw[i + 1][:, :halo] if (i + 1 < n_b and halo) else None
+        pieces = [p for p in (top, raw[i], bot) if p is not None]
+        x = (
+            jnp.concatenate(pieces, axis=1) if len(pieces) > 1
+            else pieces[0]
+        )
+        # symmetric pad only at the true image top/bottom (scipy 'reflect'
+        # boundary) and up to the fixed compile shape for the last band
+        pad_top = halo if i == 0 else 0
+        pad_bot = in_rows - pad_top - x.shape[1]
+        if pad_top or pad_bot:
+            x = jnp.pad(x, ((0, 0), (pad_top, pad_bot), (0, 0)),
+                        mode="symmetric")
+        pre = band_prenorm(x, blur=blur)
+        bands[i] = pre[:, halo : halo + (e - s)]
+
+    for i, decoded in enumerate(_prefetch_spans(image, spans)):
+        raw[i] = jnp.asarray(decoded)  # source dtype upload
+        if i >= 1:
+            prenorm_one(i - 1)
+            if i >= 2:
+                raw[i - 2] = None  # free: only a sliding window stays raw
+    if n_b:
+        prenorm_one(n_b - 1)
+
+    amax = float(config.upper_limit)
+    stats = []
+    for i in range(c):  # per channel: sort workspace stays one channel
+        ch = (
+            jnp.concatenate([b[i] for b in bands], axis=0)
+            if len(bands) > 1 else bands[0][i]
+        )
+        stats.append(stats_from_pre_channel(ch, amax))
+    thresh, denom, scaled_min, has_signal = (
+        jnp.stack([s[k] for s in stats]) for k in range(4)
+    )
+    return bands, thresh, denom, scaled_min, has_signal
+
+
+def _ext_band_from_cache(bands, b: int, ext_rows: int):
+    """Assemble the prenormed extraction band [s, s+ext_rows) for band b
+    from the cached interiors (spills into following bands; zero-pads past
+    the image bottom — those rows are masked off by extract_patches)."""
+    pieces = [bands[b]]
+    rows = bands[b].shape[1]
+    nb = b + 1
+    while rows < ext_rows and nb < len(bands):
+        take = min(ext_rows - rows, bands[nb].shape[1])
+        pieces.append(bands[nb][:, :take])
+        rows += take
+        nb += 1
+    band = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, axis=1)
+    if rows < ext_rows:
+        band = jnp.pad(band, ((0, 0), (0, ext_rows - rows), (0, 0)))
+    return band
+
+
 def run_image_tiled(
     image: np.ndarray,
     mask: np.ndarray,
@@ -164,12 +285,35 @@ def run_image_tiled(
     sh = cell_sharding(mesh)
 
     patch_size = int(40 * config.cell_size / 30.0)
-    if band_rows is None:
+    auto_rows = band_rows is None
+    if auto_rows:
         budget = getattr(config, "device_image_budget_bytes", 1 << 31)
         band_rows = max(int(budget / (c * w * 4 * 4)), 4 * patch_size)
     band_rows = min(band_rows, h)
 
-    if config.normalize:
+    # single-upload cache mode: slide's f32 prenorm fits in HBM
+    use_cache = bool(config.normalize) and (
+        c * h * w * 4
+        <= getattr(config, "device_prenorm_cache_bytes", 4 << 30)
+    )
+    pre_bands = None
+    if use_cache and auto_rows:
+        # smaller bands pipeline decode/upload/compute against each other;
+        # disjoint uploads make the extra band count free on the wire
+        # (halo context is assembled on device from neighboring bands)
+        band_rows = min(
+            band_rows,
+            max(-(-h // 8), halo_radius(config.blur), 4 * patch_size),
+        )
+    if use_cache:
+        pre_bands, thresh, denom, scaled_min, has_signal = prenorm_cached(
+            image, config, band_rows
+        )
+        min_val = scaled_min
+        thresh_d = jax.device_put(thresh, rep)
+        denom_d = jax.device_put(denom, rep)
+        signal_d = jax.device_put(has_signal, rep)
+    elif config.normalize:
         thresh, denom, scaled_min, has_signal = compute_global_norm_stats(
             image, config, band_rows
         )
@@ -227,14 +371,30 @@ def run_image_tiled(
             int_parts.append(np.asarray(avg[:n_valid]))
             order_parts.append(idx)
 
-    for b in sorted(set(band_of.tolist())) if n else []:
+    cell_bands = sorted(set(band_of.tolist())) if n else []
+    if use_cache or not cell_bands:
+        raw_iter = iter(())  # cache mode: pass B reads nothing from host
+    else:
+        spans = []
+        for b in cell_bands:
+            s = b * band_rows
+            e = min(s + band_rows, h)
+            spans.append(
+                (max(s - halo, 0), min(e + patch_size + halo, h))
+            )
+        raw_iter = _prefetch_spans(image, spans)
+
+    for b in cell_bands:
         s = b * band_rows
         e = min(s + band_rows, h)
         # extraction rows [s, e + patch), prenorm needs halo around them
         lo = max(s - halo, 0)
-        hi_row = min(e + patch_size + halo, h)
-        raw = np.asarray(image[:, lo:hi_row], np.float32)
-        if config.normalize:
+        if use_cache:
+            pre_ext = _ext_band_from_cache(pre_bands, b, ext_rows)
+            band_img = band_apply_scale(pre_ext, thresh_d, denom_d,
+                                        signal_d)
+        elif config.normalize:
+            raw = next(raw_iter)
             pre = band_prenorm(
                 jax.device_put(
                     jnp.asarray(_pad_rows(raw, in_rows, mode="symmetric")),
@@ -248,9 +408,10 @@ def run_image_tiled(
                 band_norm, start_local, ext_rows, axis=1
             )
         else:
+            raw = next(raw_iter)
             band_img = jnp.asarray(
                 _pad_rows(raw[:, s - lo :], ext_rows, mode="symmetric")
-            )
+            ).astype(jnp.float32)
         band_zero = band_img - min_val[:, None, None]
 
         mask_band = _pad_rows(mask[s : e + patch_size], ext_rows)

@@ -7,11 +7,12 @@ the band buffers the pipeline uploads, so neither memory holds the full
 image. The reference (and our PIL path, io/tiff.py) decodes entire pages.
 
 Implementation: minimal ctypes bindings over libtiff's C ABI (TIFFOpen /
-TIFFSetDirectory / TIFFReadScanline); no Python imaging stack in the loop.
-Scanline reads require stripped, single-sample-per-pixel pages — the
-standard layout for multiplexed CHW stacks (including those written by
-io/tiff.write_tiff). Anything else (tiled TIFFs, RGB pages) falls back to
-the whole-image PIL path at open_image().
+TIFFSetDirectory / TIFFReadScanline / TIFFReadTile); no Python imaging
+stack in the loop. Both strip-organized pages (scanline reads) and
+tile-organized pages (TIFFReadTile into the band buffer) are supported
+for single-sample-per-pixel layouts — the standard organizations for
+multiplexed CHW stacks. Anything else (RGB pages, odd sample formats)
+falls back to the whole-image PIL path at open_image().
 
 The object quacks like the (C, H, W) ndarray the pipelines touch:
 ``.shape``, ``.dtype``, ``.nbytes`` and ``reader[:, lo:hi]`` row-band
@@ -32,6 +33,8 @@ TAG_IMAGELENGTH = 257
 TAG_BITSPERSAMPLE = 258
 TAG_SAMPLESPERPIXEL = 277
 TAG_SAMPLEFORMAT = 339
+TAG_TILEWIDTH = 322
+TAG_TILELENGTH = 323
 
 SAMPLEFORMAT_UINT = 1
 SAMPLEFORMAT_INT = 2
@@ -74,6 +77,11 @@ def _libtiff():
             lib.TIFFReadScanline.argtypes = [
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint32,
                 ctypes.c_uint16,
+            ]
+            lib.TIFFReadTile.restype = ctypes.c_ssize_t
+            lib.TIFFReadTile.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint32,
+                ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint16,
             ]
             # variadic TIFFGetField: declare per-call below
             lib.TIFFGetField.restype = ctypes.c_int
@@ -130,8 +138,6 @@ class TiffBandReader:
         if not self._tif:
             raise OSError(f"TIFFOpen failed for {path}")
         lib, tif = self._lib, self._tif
-        if lib.TIFFIsTiled(ctypes.c_void_p(tif)):
-            raise ValueError("tiled TIFF layout (use the PIL path)")
         n_pages = lib.TIFFNumberOfDirectories(ctypes.c_void_p(tif))
         w = _get_u32(lib, tif, TAG_IMAGEWIDTH)
         h = _get_u32(lib, tif, TAG_IMAGELENGTH)
@@ -148,6 +154,7 @@ class TiffBandReader:
         # resolution levels, which the PIL path filters the same way
         # (io/tiff.py:45-49)
         self._dirs: list[int] = []
+        self._tiled: dict[int, tuple[int, int]] = {}  # page -> (tw, tl)
         for page in range(int(n_pages)):
             if not lib.TIFFSetDirectory(ctypes.c_void_p(tif), page):
                 break
@@ -155,8 +162,13 @@ class TiffBandReader:
             ph = _get_u32(lib, tif, TAG_IMAGELENGTH, 0)
             pb = _get_u16(lib, tif, TAG_BITSPERSAMPLE, 8)
             ps = _get_u16(lib, tif, TAG_SAMPLESPERPIXEL, 1)
-            tiled = lib.TIFFIsTiled(ctypes.c_void_p(tif))
-            if (pw, ph, pb, ps) == (w, h, bits, 1) and not tiled:
+            if (pw, ph, pb, ps) == (w, h, bits, 1):
+                if lib.TIFFIsTiled(ctypes.c_void_p(tif)):
+                    tw = _get_u32(lib, tif, TAG_TILEWIDTH, 0)
+                    tl = _get_u32(lib, tif, TAG_TILELENGTH, 0)
+                    if not (tw and tl):
+                        continue
+                    self._tiled[page] = (int(tw), int(tl))
                 self._dirs.append(page)
         if not self._dirs:
             raise ValueError("no readable full-resolution pages")
@@ -179,6 +191,9 @@ class TiffBandReader:
                 if not lib.TIFFSetDirectory(ctypes.c_void_p(tif), page):
                     raise OSError(f"TIFFSetDirectory({page}) failed")
                 buf = out[chan]
+                if page in self._tiled:
+                    self._read_tiles(page, buf, lo, hi)
+                    continue
                 for i, row in enumerate(range(lo, hi)):
                     ok = lib.TIFFReadScanline(
                         ctypes.c_void_p(tif),
@@ -190,6 +205,30 @@ class TiffBandReader:
                             f"TIFFReadScanline(page={page}, row={row}) failed"
                         )
         return out
+
+    def _read_tiles(self, page: int, buf: np.ndarray, lo: int, hi: int):
+        """Fill ``buf`` (rows [lo, hi) of one tile-organized page) via
+        TIFFReadTile; tiles straddling the band edge are clipped."""
+        lib, tif = self._lib, self._tif
+        tw, tl = self._tiled[page]
+        w = self.shape[2]
+        tile = np.empty((tl, tw), self.dtype)
+        tile_ptr = tile.ctypes.data_as(ctypes.c_void_p)
+        for ty in range((lo // tl) * tl, hi, tl):
+            r0, r1 = max(lo, ty), min(hi, ty + tl)
+            for tx in range(0, w, tw):
+                n = lib.TIFFReadTile(
+                    ctypes.c_void_p(tif), tile_ptr,
+                    ctypes.c_uint32(tx), ctypes.c_uint32(ty), 0, 0,
+                )
+                if n < 0:
+                    raise OSError(
+                        f"TIFFReadTile(page={page}, x={tx}, y={ty}) failed"
+                    )
+                cols = min(tw, w - tx)
+                buf[r0 - lo : r1 - lo, tx : tx + cols] = (
+                    tile[r0 - ty : r1 - ty, :cols]
+                )
 
     def __getitem__(self, key):
         return _BandSlicer(self)[key]

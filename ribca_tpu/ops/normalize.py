@@ -128,6 +128,27 @@ def percentile_from_hist(hist: np.ndarray, hi: float, q: float,
     return (b + np.clip(frac, 0.0, 1.0)) * hi / bins
 
 
+@functools.partial(jax.jit, static_argnames=("amax",))
+def stats_from_pre_channel(ch: jnp.ndarray, amax: float):
+    """EXACT normalization scalars (thresh, denom, scaled_min, has_signal)
+    for one prenormed channel — the same jnp.percentile/max math as
+    ``_normalize_channel`` steps 3-5, so a banded run whose prenormed
+    pixels are device-resident reproduces the single-shot path bit-for-bit
+    (no histogram approximation). Called per channel (Python loop) so the
+    sort workspace never exceeds one channel."""
+    has_signal = jnp.any(ch > 0)
+    thresh = jnp.percentile(ch, amax)
+    clipped = jnp.where(thresh > PCT_GUARD, jnp.clip(ch, 0.0, thresh), ch)
+    denom = jnp.maximum(SCALE_FLOOR, jnp.max(clipped))
+    # min of the scaled channel: scaling is monotone, so it is attained at
+    # the prenorm minimum and computed with the identical f32 expression
+    gmin = jnp.min(ch)
+    scaled_min = jnp.where(
+        has_signal, 2.0 * (gmin / denom) - 1.0, jnp.float32(-1.0)
+    )
+    return thresh, denom, scaled_min, has_signal
+
+
 @jax.jit
 def band_apply_scale(pre, thresh, denom, has_signal):
     """Steps 3-5 with global host-computed per-channel scalars: clip at

@@ -61,6 +61,14 @@ class AnnotatorConfig:
     # whole-slide images above this f32 footprint stream through the
     # banded pipeline (engine/tiled.py) instead of living in HBM whole
     device_image_budget_bytes: int = 2 << 30
+    # banded runs whose f32 prenorm fits this many bytes of HBM keep it
+    # device-resident: one decode + one upload per band, exact statistics
+    # (engine/tiled.py cache mode)
+    device_prenorm_cache_bytes: int = 4 << 30
+    # TIFF stacks above this decoded size are opened as streaming readers
+    # so band decode overlaps upload/compute inside one slide (the banded
+    # cache mode keeps the result bit-identical to the single-shot path)
+    stream_decode_bytes: int = 64 << 20
     # persistent XLA compile cache (cold-start compiles are expensive,
     # minutes on remote-compiled TPU); "" disables
     compile_cache_dir: str = "~/.cache/ribca_tpu/xla"

@@ -97,3 +97,88 @@ def test_pipeline_from_streaming_reader(tmp_path, rng):
     np.testing.assert_allclose(
         whole.intensity_full, streamed.intensity_full, atol=2e-3
     )
+
+
+# -- tiled (TIFFReadTile) layouts ---------------------------------------------
+
+
+def write_tiled_tiff(path, img, tile_w=16, tile_l=16):
+    """Write a CHW stack as a tile-organized multi-page TIFF through
+    libtiff (PIL only writes strips; this exercises the TIFFReadTile
+    path). Tile dims must be multiples of 16 (TIFF 6.0)."""
+    import ctypes
+
+    from ribca_tpu.io.tiff_stream import (
+        TAG_BITSPERSAMPLE,
+        TAG_IMAGELENGTH,
+        TAG_IMAGEWIDTH,
+        TAG_SAMPLEFORMAT,
+        TAG_SAMPLESPERPIXEL,
+        TAG_TILELENGTH,
+        TAG_TILEWIDTH,
+        _libtiff,
+    )
+
+    TAG_COMPRESSION, TAG_PHOTOMETRIC, TAG_PLANARCONFIG = 259, 262, 284
+    lib = _libtiff()
+    lib.TIFFWriteTile.restype = ctypes.c_ssize_t
+    lib.TIFFWriteTile.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint32,
+        ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint16,
+    ]
+    lib.TIFFWriteDirectory.restype = ctypes.c_int
+    lib.TIFFWriteDirectory.argtypes = [ctypes.c_void_p]
+    lib.TIFFSetField.restype = ctypes.c_int
+
+    assert img.dtype == np.uint16
+    c, h, w = img.shape
+    tif = lib.TIFFOpen(path.encode(), b"w")
+    assert tif, "TIFFOpen(w) failed"
+    tifp = ctypes.c_void_p(tif)
+    u32, i32 = ctypes.c_uint32, ctypes.c_int
+    try:
+        for chan in range(c):
+            for tag, val in (
+                (TAG_IMAGEWIDTH, u32(w)), (TAG_IMAGELENGTH, u32(h)),
+                (TAG_BITSPERSAMPLE, i32(16)), (TAG_SAMPLESPERPIXEL, i32(1)),
+                (TAG_SAMPLEFORMAT, i32(1)), (TAG_COMPRESSION, i32(1)),
+                (TAG_PHOTOMETRIC, i32(1)), (TAG_PLANARCONFIG, i32(1)),
+                (TAG_TILEWIDTH, u32(tile_w)), (TAG_TILELENGTH, u32(tile_l)),
+            ):
+                assert lib.TIFFSetField(tifp, u32(tag), val)
+            buf = np.zeros((tile_l, tile_w), np.uint16)
+            for ty in range(0, h, tile_l):
+                for tx in range(0, w, tile_w):
+                    buf[:] = 0
+                    rows = min(tile_l, h - ty)
+                    cols = min(tile_w, w - tx)
+                    buf[:rows, :cols] = img[chan, ty:ty + rows, tx:tx + cols]
+                    n = lib.TIFFWriteTile(
+                        tifp, buf.ctypes.data_as(ctypes.c_void_p),
+                        u32(tx), u32(ty), u32(0), ctypes.c_uint16(0),
+                    )
+                    assert n > 0, "TIFFWriteTile failed"
+            assert lib.TIFFWriteDirectory(tifp)
+    finally:
+        lib.TIFFClose(tifp)
+
+
+def test_tiled_tiff_streams(tmp_path, rng):
+    """Tile-organized TIFFs stream through TIFFReadTile (round-1 gap:
+    they fell back to whole-image PIL decode)."""
+    arr = rng.integers(0, 60000, size=(3, 70, 90)).astype(np.uint16)
+    path = str(tmp_path / "tiled.tif")
+    write_tiled_tiff(path, arr)
+
+    r = TiffBandReader(path)
+    assert r.shape == (3, 70, 90)
+    assert set(r._tiled.values()) == {(16, 16)}
+    np.testing.assert_array_equal(r.read_band(0, 70), arr)
+    np.testing.assert_array_equal(r.read_band(13, 37), arr[:, 13:37])
+    np.testing.assert_array_equal(r[:, 5:9], arr[:, 5:9])
+    r.close()
+
+    # open_image streams it instead of the PIL fallback
+    streamed = open_image(path, host_budget_bytes=10)
+    assert hasattr(streamed, "read_band")
+    np.testing.assert_array_equal(streamed[:, 0:70], arr)

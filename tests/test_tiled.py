@@ -1,8 +1,11 @@
 """Banded whole-slide pipeline vs the single-shot path.
 
-normalize=False is bit-exact; normalize=True differs only through the
-histogram-approximated percentile (tolerance asserted tight) — SURVEY §7
-"Hard parts: percentile + data-dependent control flow".
+normalize=False is bit-exact. normalize=True has two modes: the
+single-upload cache mode (prenorm kept in HBM, EXACT jnp.percentile
+stats — bit-identical to single-shot) and the two-pass histogram fallback
+for slides beyond the cache budget (percentile approximated; tolerance
+asserted tight) — SURVEY §7 "Hard parts: percentile + data-dependent
+control flow".
 """
 
 import numpy as np
@@ -53,9 +56,11 @@ def test_tiled_matches_single_shot_no_normalize(runner, fixture):
     )
 
 
-def test_tiled_matches_single_shot_normalized(runner, fixture):
+def test_tiled_matches_single_shot_normalized_histogram(runner, fixture):
+    """Two-pass histogram fallback (cache budget forced to 0)."""
     img, mask = fixture
-    cfg = AnnotatorConfig(normalize=True, blur=0.3, upper_limit=99.8)
+    cfg = AnnotatorConfig(normalize=True, blur=0.3, upper_limit=99.8,
+                          device_prenorm_cache_bytes=0)
     whole = run_image(img, mask, cfg, runner)
     tiled = run_image_tiled(img, mask, cfg, runner, band_rows=160)
     np.testing.assert_allclose(
@@ -69,6 +74,57 @@ def test_tiled_matches_single_shot_normalized(runner, fixture):
     )
     np.testing.assert_allclose(
         whole.intensity_full, tiled.intensity_full, atol=2e-3
+    )
+
+
+class CountingReader:
+    """ndarray-quacking wrapper that records which rows were decoded —
+    proves the cache mode reads and uploads each pixel exactly once."""
+
+    def __init__(self, arr):
+        self._arr = arr
+        self.shape = arr.shape
+        self.dtype = arr.dtype
+        self.nbytes = arr.nbytes
+        self.rows_read = np.zeros(arr.shape[1], np.int32)
+
+    def read_band(self, lo, hi):
+        self.rows_read[lo:hi] += 1
+        return self._arr[:, lo:hi]
+
+    def __getitem__(self, key):
+        chans, rows = key
+        assert chans == slice(None)
+        lo = rows.start or 0
+        hi = rows.stop if rows.stop is not None else self.shape[1]
+        return self.read_band(lo, hi)
+
+    def channel_min(self):
+        return self._arr.reshape(self.shape[0], -1).min(1).astype(
+            np.float32
+        )
+
+
+def test_tiled_cache_mode_bit_exact(runner, fixture):
+    """Single-upload cache mode must reproduce single-shot EXACTLY (no
+    histogram approximation) while decoding every row exactly once."""
+    img, mask = fixture
+    cfg = AnnotatorConfig(normalize=True, blur=0.3, upper_limit=99.8)
+    assert img.size * 4 <= cfg.device_prenorm_cache_bytes
+    whole = run_image(img, mask, cfg, runner)
+    reader = CountingReader(img)
+    tiled = run_image_tiled(reader, mask, cfg, runner, band_rows=160)
+    np.testing.assert_array_equal(whole.cell_ids, tiled.cell_ids)
+    np.testing.assert_allclose(
+        whole.panel_probs["immune_base"], tiled.panel_probs["immune_base"],
+        atol=1e-6, rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        whole.intensity_full, tiled.intensity_full, atol=1e-6
+    )
+    # one decode per row, pass B reads nothing
+    np.testing.assert_array_equal(
+        reader.rows_read, np.ones(img.shape[1], np.int32)
     )
 
 
