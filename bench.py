@@ -17,6 +17,12 @@ Metrics (all on one chip):
    predict + vote + heatmap + regions + neighborhood + export + colorize
    + composition, main.py:19-27) with reference defaults; warm-cache run
    is reported (cold-run compile time is logged separately in stderr).
+4. ``cohort_throughput`` — cells/sec through a 5-slide batch
+   ``Annotator.predict()`` (the reference batch loop, main.py:39-52):
+   small slides whose tails share packed ensemble dispatches
+   (engine/packer.py) and whose shapes share one canonical program set
+   (ops/shapes.py). The VERDICT r1 criterion: cohort cells/s should not
+   degrade below the single-image plateau.
 
 Measurement methodology for 1-2 (robust to remote/tunneled devices where
 dispatches are asynchronous and host wall-clock around un-fetched results
@@ -201,6 +207,71 @@ def measure_e2e() -> tuple[float, int]:
     return warm, E2E_CELLS
 
 
+COHORT_SLIDES = 5
+COHORT_SIZE = 1200
+COHORT_CELLS = 5000
+
+
+def measure_cohort() -> tuple[float, int]:
+    """(warm predict cells/sec, total cells) for a 5-slide batch run."""
+    import shutil
+    import tempfile
+
+    from PIL import Image
+
+    from ribca_tpu.api.annotator import Annotator
+    from ribca_tpu.io import write_tiff
+    from ribca_tpu.io.manifest import write_manifest
+    from ribca_tpu.panels.vocab import PANELS
+    from ribca_tpu.utils.config import AnnotatorConfig
+    from tests.synth import make_cells, make_image
+
+    cohort_dir = os.path.join(E2E_DIR, "cohort")
+    os.makedirs(cohort_dir, exist_ok=True)
+    pairs = []
+    for i in range(COHORT_SLIDES):
+        img_path = os.path.join(cohort_dir, f"slide_{i}.tif")
+        mask_path = os.path.join(cohort_dir, f"mask_{i}.png")
+        if not (os.path.exists(img_path) and os.path.exists(mask_path)):
+            # slightly different sizes: exercises canonical shape buckets
+            hw = COHORT_SIZE + 16 * i
+            mask, _ = make_cells(h=hw, w=hw, n_cells=COHORT_CELLS,
+                                 radius=5, seed=100 + i)
+            img = make_image(mask, n_channels=7, seed=100 + i)
+            write_tiff(img_path, img)
+            Image.fromarray(mask.astype(np.uint16)).save(mask_path)
+        pairs.append((img_path, mask_path))
+    marker_path = os.path.join(cohort_dir, "markers.txt")
+    with open(marker_path, "w") as f:
+        f.write("\n".join(PANELS["immune_base"]) + "\n")
+    csv_path = os.path.join(cohort_dir, "batch.csv")
+    write_manifest(pairs, csv_path)
+
+    def once():
+        run_dir = tempfile.mkdtemp(prefix="ribca_bench_cohort_")
+        config = AnnotatorConfig(
+            marker_file=marker_path, csv_file=csv_path, main_dir=run_dir,
+            batch_id="bench", strict=True, infer=False,
+        )
+        a = Annotator(config)
+        a.preprocess()
+        t0 = time.perf_counter()
+        a.predict(config.batch_size)
+        dt = time.perf_counter() - t0
+        compiles = a.logger.compile_stats
+        shutil.rmtree(run_dir, ignore_errors=True)
+        return dt, compiles
+
+    cold, cold_c = once()
+    warm, warm_c = once()
+    total = COHORT_SLIDES * COHORT_CELLS
+    print(
+        f"cohort cold={cold:.1f}s ({cold_c}) warm={warm:.1f}s ({warm_c})",
+        file=sys.stderr,
+    )
+    return total / warm, total
+
+
 def _measure_torch_baselines() -> dict:
     """Measured torch-CPU reference-equivalents (cached across runs)."""
     cached = {}
@@ -286,6 +357,7 @@ def main():
     ours = measure_tpu()
     infer_ours = measure_tpu_infer()
     e2e_seconds, n_cells = measure_e2e()
+    cohort_rate, _ = measure_cohort()
     # the baseline e2e estimate charges the reference only its model
     # forwards (immune_base head at torch-CPU rate) — no preprocess or
     # analytics cost — i.e. a conservative lower bound on its wall time
@@ -309,6 +381,14 @@ def main():
                 "value": round(e2e_seconds, 2),
                 "unit": "seconds",
                 "vs_baseline": round(e2e_baseline / e2e_seconds, 2),
+            },
+            {
+                "metric": "cohort_throughput",
+                "value": round(cohort_rate, 1),
+                "unit": "cells/sec/chip",
+                "vs_baseline": round(
+                    cohort_rate / baseline["base_cells_per_sec"], 2
+                ),
             },
         ],
     }))

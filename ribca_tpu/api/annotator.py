@@ -90,7 +90,7 @@ class Annotator:
         )
         self.mesh = (
             mesh if mesh is not None
-            else get_mesh(platform=config.device or None)
+            else self._default_mesh(config)
         )
 
         self.confidence_thresh = config.confidence
@@ -111,6 +111,23 @@ class Annotator:
         self.colors: list = []
         self.tissue_regions: list[dict] | None = None
         self._runner = None
+
+    @staticmethod
+    def _default_mesh(config):
+        """Global mesh on a single host; LOCAL mesh when multi-host slide
+        sharding is active (each host runs its own dispatch schedule —
+        sharing a global mesh across hosts doing different work would
+        deadlock collectives, parallel/mesh.get_local_mesh)."""
+        import jax
+
+        from ribca_tpu.parallel.mesh import get_local_mesh
+
+        if (
+            jax.process_count() > 1
+            and getattr(config, "multi_host_image_sharding", True)
+        ):
+            return get_local_mesh(platform=config.device or None)
+        return get_mesh(platform=config.device or None)
 
     # -- reference-shape constructor ----------------------------------------
 
@@ -181,6 +198,81 @@ class Annotator:
                 logger=self.logger,
             )
         return self._runner
+
+    def warm_cache(self, image_shapes=None) -> int:
+        """Pre-compile the pipeline's program ladder (AOT, no execution)
+        into the persistent XLA compile cache, so production runs pay
+        compile time once per cache lifetime instead of per process
+        (the reference's eager loops have no warmup cost, main.py:39-52;
+        under XLA a cold cohort otherwise spends minutes compiling).
+
+        Always compiles the ensemble program for every dispatch-ladder
+        bucket; with ``image_shapes`` (true (H, W) pairs) additionally
+        compiles the normalization + patch-extraction programs for those
+        images' canonical shape buckets. Returns the number of programs
+        lowered."""
+        import jax
+        import jax.numpy as jnp
+
+        from ribca_tpu.engine.pipeline import dispatch_ladder
+        from ribca_tpu.ops.normalize import halo_radius
+        from ribca_tpu.ops.patches import extract_patches
+        from ribca_tpu.ops.shapes import bucket_dim
+
+        runner = self._ensure_runner()
+        cfg = self.config
+        n_dev = self.mesh.size
+        c = self.channel_parser.n_markers
+        ladder = dispatch_ladder(cfg.chunk_cells, n_dev)
+        params, imp = runner._params_on_device()
+
+        count = 0
+        with self.logger.stage("warm.ensemble"):
+            for size in ladder:
+                sds = jax.ShapeDtypeStruct((size, c, 40, 40), jnp.float32)
+                runner._fn.lower(sds, params, imp).compile()
+                count += 1
+
+        if image_shapes:
+            patch = int(40 * cfg.cell_size / 30.0)
+            pad_min = halo_radius(cfg.blur) if cfg.normalize else 0
+            f32, i32 = jnp.float32, jnp.int32
+            buckets = set()
+            for h, w in image_shapes:
+                if getattr(cfg, "canonical_shapes", True):
+                    buckets.add((bucket_dim(h, pad_min),
+                                 bucket_dim(w, pad_min)))
+                else:
+                    buckets.add((int(h), int(w)))
+            with self.logger.stage("warm.image_programs"):
+                from ribca_tpu.ops.normalize import (
+                    cast_f32_masked,
+                    normalize_image_masked,
+                )
+
+                for hb, wb in sorted(buckets):
+                    img_sds = jax.ShapeDtypeStruct((c, hb, wb), f32)
+                    if cfg.normalize:
+                        normalize_image_masked.lower(
+                            img_sds, 0, 0,
+                            blur=float(cfg.blur),
+                            amax=float(cfg.upper_limit),
+                        ).compile()
+                    else:
+                        cast_f32_masked.lower(img_sds, 0, 0).compile()
+                    count += 1
+                    mask_sds = jax.ShapeDtypeStruct((hb, wb), i32)
+                    min_sds = jax.ShapeDtypeStruct((c,), f32)
+                    for size in ladder:
+                        cell = jax.ShapeDtypeStruct((size,), i32)
+                        extract_patches.lower(
+                            img_sds, min_sds, mask_sds,
+                            cell, cell, cell, cell, cell,
+                            patch_size=patch, full_h=0, full_w=0,
+                        ).compile()
+                        count += 1
+        self.logger.log(f"warm_cache: {count} programs lowered")
+        return count
 
     def predict(self, batch_size: int | None = None) -> None:
         """Stream every image through the fused device pipeline, then merge
@@ -268,7 +360,40 @@ class Annotator:
             return image, read_mask(mask_path)
 
         pairs = list(zip(self._image_paths, self._mask_paths))
+
+        # multi-host batch: this host annotates its round-robin subset of
+        # slides on its local chips (parallel/mesh.host_image_shard)
+        import jax
+
+        if (
+            jax.process_count() > 1
+            and getattr(cfg, "multi_host_image_sharding", True)
+        ):
+            from ribca_tpu.parallel.mesh import host_image_shard
+
+            mine = host_image_shard(
+                len(pairs), jax.process_index(), jax.process_count()
+            )
+            pairs = [pairs[i] for i in mine]
+            self._image_paths = [p for p, _ in pairs]
+            self._mask_paths = [m for _, m in pairs]
+            self.logger.log(
+                f"Multi-host batch: host {jax.process_index()}/"
+                f"{jax.process_count()} takes {len(pairs)} image(s)"
+            )
+
         self.records = []
+        # one packer for the whole cohort: tail cells of image i and head
+        # cells of image i+1 share full ensemble dispatches, so bucket
+        # padding is paid once per run instead of once per image
+        from ribca_tpu.engine.packer import CohortPacker
+        from ribca_tpu.engine.pipeline import pack_size
+
+        packer = CohortPacker(
+            runner, pack_size(cfg, self.mesh.size),
+            self.channel_parser.n_markers,
+            prefetch_depth=cfg.prefetch_depth,
+        )
         with ThreadPoolExecutor(max_workers=1) as pool:
             pending = pool.submit(decode, pairs[0]) if pairs else None
             for i, (img_path, _) in enumerate(pairs):
@@ -279,12 +404,19 @@ class Annotator:
                     if i + 1 < len(pairs) else None
                 )
                 with self.logger.stage("device.pipeline"):
-                    record = run_image(image, mask, cfg, runner)
+                    record = run_image(image, mask, cfg, runner,
+                                       packer=packer)
                 self.records.append(record)
                 self.logger.log(
                     f"Processed {os.path.basename(img_path)}: "
                     f"{record.n_cells} cells"
                 )
+            with self.logger.stage("device.finalize"):
+                packer.finalize()
+        self.logger.log(
+            "Ensemble dispatch padding: "
+            f"{packer.pad_fraction:.1%} of rows"
+        )
 
     def merge_by_voting(self) -> None:
         self.annotations, self.confidence = [], []

@@ -99,12 +99,21 @@ def parse_args(argv=None) -> argparse.Namespace:
     parser.add_argument("--reference-ordering", action="store_true",
                         help="Reproduce the reference CLI stage order "
                              "(export before region analysis)")
-    group = parser.add_mutually_exclusive_group(required=True)
+    parser.add_argument("--warm-cache", action="store_true",
+                        help="Pre-compile the program ladder into the "
+                             "persistent XLA cache before (or instead of) "
+                             "running — kills cohort cold-start compiles")
+    parser.add_argument("--warm-shapes", type=str, default=None,
+                        help="Comma-separated HxW image sizes to warm, "
+                             "e.g. 3000x3000,2048x2048 (with --warm-cache)")
+    group = parser.add_mutually_exclusive_group()
     group.add_argument("--image-path", type=str)
     group.add_argument("--batch-csv", type=str)
     parser.add_argument("--mask-path", type=str)
 
     args = parser.parse_args(argv)
+    if not (args.image_path or args.batch_csv or args.warm_cache):
+        parser.error("one of --image-path or --batch-csv is required")
     if args.image_path and not args.mask_path:
         parser.error("--mask-path is required when using --image-path")
     return args
@@ -139,12 +148,27 @@ def config_from_args(args: argparse.Namespace) -> AnnotatorConfig:
     )
 
 
+def _parse_warm_shapes(spec: str | None):
+    if not spec:
+        return None
+    shapes = []
+    for part in spec.split(","):
+        h, w = part.lower().split("x")
+        shapes.append((int(h), int(w)))
+    return shapes
+
+
 def main(argv=None):
     from ribca_tpu.parallel.mesh import maybe_init_distributed
 
     maybe_init_distributed()
     args = parse_args(argv)
     config = config_from_args(args)
+    if args.warm_cache:
+        warmer = Annotator(config)
+        warmer.warm_cache(_parse_warm_shapes(args.warm_shapes))
+        if not (args.image_path or args.batch_csv):
+            return warmer
     if args.batch_csv:
         return batch_run(config, args.bs, args.n_regions,
                          args.reference_ordering)

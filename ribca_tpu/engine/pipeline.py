@@ -24,16 +24,16 @@ import jax.numpy as jnp
 import numpy as np
 
 from ribca_tpu.ops.extents import cell_extents
-from ribca_tpu.ops.normalize import normalize_image
+from ribca_tpu.ops.normalize import (
+    cast_f32_masked,
+    halo_radius,
+    normalize_image_masked,
+)
 from ribca_tpu.ops.patches import extract_patches
+from ribca_tpu.ops.shapes import bucket_dim, pad_image_chw, pad_mask_hw
 from ribca_tpu.parallel.mesh import cell_sharding, replicated_sharding
 
 MIN_CHUNK = 64
-
-
-@jax.jit
-def _cast_f32(x):
-    return x.astype(jnp.float32)
 
 
 @dataclasses.dataclass
@@ -64,38 +64,74 @@ def chunk_size_for(n: int, cap: int, n_devices: int) -> int:
     return size
 
 
+def dispatch_ladder(cap: int, n_devices: int) -> list[int]:
+    """Every dispatch size the pipeline can emit for a chunk cap — the
+    bucket set a warm-cache pass must pre-compile (ascending)."""
+    sizes = {chunk_size_for(n, cap, n_devices)
+             for n in [1] + [1 << k for k in range(27) if (1 << k) <= cap]}
+    sizes.add(chunk_size_for(cap, cap, n_devices))
+    return sorted(sizes)
+
+
 def preprocess_image(
     image: np.ndarray,
     mask: np.ndarray,
     config,
     mesh,
 ):
-    """Normalize + extents; returns (img_zero, min_val, mask_dev, extents)
-    with the image replicated on the mesh."""
+    """Normalize + extents; returns (img_zero, min_val, mask_dev,
+    mask_host, extents, (true_h, true_w)) with the image replicated on
+    the mesh.
+
+    The upload is shape-bucketed (ops/shapes.py): H/W round up to a
+    canonical ladder with 'symmetric' image pad and zero mask pad, so a
+    cohort of similar-sized images compiles ONE set of programs. The true
+    extent travels as traced scalars; statistics and the patch gather
+    mask the pad, keeping results bitwise equal to the unpadded run."""
     if mask.ndim == 3:
         mask = mask[:, :, 0]
     mask = np.ascontiguousarray(mask).astype(np.int32)
+    image = np.asarray(image)
+    _, h, w = image.shape
+
+    if getattr(config, "canonical_shapes", True):
+        # exactness needs pad >= the Gaussian kernel radius
+        pad_min = halo_radius(config.blur) if config.normalize else 0
+        hb, wb = bucket_dim(h, pad_min), bucket_dim(w, pad_min)
+    else:
+        hb, wb = h, w
 
     rep = replicated_sharding(mesh)
     # upload in the source dtype (uint16 slides are half the bytes of f32;
     # host->device bandwidth is the scarce resource) and cast on device
-    img_dev = jax.device_put(np.asarray(image), rep)
+    img_dev = jax.device_put(pad_image_chw(image, hb, wb), rep)
     if config.normalize:
-        img_dev = normalize_image(
-            img_dev, blur=float(config.blur), amax=float(config.upper_limit)
+        img_dev = normalize_image_masked(
+            img_dev, h, w,
+            blur=float(config.blur), amax=float(config.upper_limit),
         )
     else:
-        img_dev = _cast_f32(img_dev)
+        img_dev = cast_f32_masked(img_dev, h, w)
 
     # _move_image_range (preprocess.py:153-157): per-channel min shift.
-    min_val = jnp.min(img_dev, axis=(1, 2))
+    # nan-aware: pad pixels are NaN by the masked-normalization contract.
+    min_val = jnp.nanmin(img_dev, axis=(1, 2))
     img_zero = img_dev - min_val[:, None, None]
 
-    mask_dev = jax.device_put(mask, rep)
+    mask_dev = jax.device_put(pad_mask_hw(mask, hb, wb), rep)
     extents = cell_extents(
         mask, prefer_native=getattr(config, "use_native_scanner", True)
     )
-    return img_zero, min_val, mask_dev, mask, extents
+    return img_zero, min_val, mask_dev, mask, extents, (h, w)
+
+
+def pack_size(config, n_devices: int) -> int:
+    """Cells per packed ensemble dispatch (multiple of the mesh)."""
+    pack = min(getattr(config, "pack_cells", 8192), config.chunk_cells)
+    rem = pack % n_devices
+    if rem:
+        pack += n_devices - rem
+    return pack
 
 
 def run_image(
@@ -103,12 +139,18 @@ def run_image(
     mask: np.ndarray,
     config,
     runner,
+    packer=None,
 ) -> ImageRecord:
     """Full single-image flow: returns per-panel probs + intensities.
 
     ``runner`` is an EnsembleRunner built for the current marker parse.
     Whole slides whose f32 footprint exceeds the config's device budget
     stream through the banded pipeline (engine/tiled.py) instead.
+
+    ``packer`` (engine/packer.CohortPacker) shares partial ensemble
+    dispatches across the images of a batch run; when given, the returned
+    record's ``panel_probs`` are only complete after ``packer.finalize()``.
+    Without one, a local packer is created and finalized before return.
     """
     budget = getattr(config, "device_image_budget_bytes", 2 << 30)
     if (
@@ -117,21 +159,31 @@ def run_image(
     ):
         from ribca_tpu.engine.tiled import run_image_tiled
 
-        return run_image_tiled(image, mask, config, runner)
+        return run_image_tiled(image, mask, config, runner, packer=packer)
 
     mesh = runner.mesh
     n_dev = mesh.size
-    img_zero, min_val, mask_dev, mask_host, ext = preprocess_image(
-        image, mask, config, mesh
+    img_zero, min_val, mask_dev, mask_host, ext, (true_h, true_w) = (
+        preprocess_image(image, mask, config, mesh)
     )
 
     ids = ext.present_ids
     n = len(ids)
     patch_size = int(40 * config.cell_size / 30.0)  # preprocess.py:67,77
 
-    chunk = chunk_size_for(min(n, config.chunk_cells), config.chunk_cells,
-                           n_dev)
+    local_packer = packer is None
+    if local_packer:
+        from ribca_tpu.engine.packer import CohortPacker
+
+        packer = CohortPacker(
+            runner, pack_size(config, n_dev), image.shape[0],
+            prefetch_depth=config.prefetch_depth,
+        )
+    chunk = min(packer.pack,
+                chunk_size_for(min(max(n, 1), config.chunk_cells),
+                               config.chunk_cells, n_dev))
     sh = cell_sharding(mesh)
+    sink = packer.make_sink(n)
 
     def pad(a, size, fill=0):
         out = np.full(size, fill, dtype=np.int32)
@@ -140,27 +192,23 @@ def run_image(
 
     # Dispatch all chunks before materializing any: device runs ahead of
     # host (double-buffered feed, SURVEY §5 "host pipeline overlap").
+    # Probs route through the packer; intensities drain here.
     inflight: deque = deque()
-    probs_parts: dict[str, list[np.ndarray]] = {
-        s.panel: [] for s in runner.specs
-    }
     int_parts: list[np.ndarray] = []
 
     def drain(limit: int):
         while len(inflight) > limit:
-            probs, avg, n_valid = inflight.popleft()
-            for panel, arr in probs.items():
-                probs_parts[panel].append(np.asarray(arr[:n_valid]))
+            avg, n_valid = inflight.popleft()
             int_parts.append(np.asarray(avg[:n_valid]))
 
-    for start in range(0, max(n, 1), chunk):
+    for start in range(0, n, chunk):
         stop = min(start + chunk, n)
         sel = ids[start:stop]
         n_valid = len(sel)
         # tail chunks drop to their power-of-two bucket instead of padding
-        # all the way to `chunk` (a 20k-cell image at chunk 8192 would
-        # otherwise waste 23% of ensemble compute on the final dispatch)
-        size = chunk_size_for(max(n_valid, 1), chunk, n_dev)
+        # all the way to `chunk`; the packer then shares the bucket's pad
+        # rows with the next image's cells
+        size = chunk_size_for(n_valid, chunk, n_dev)
         args = [
             jax.device_put(pad(a, size), sh)
             for a in (
@@ -171,24 +219,15 @@ def run_image(
         cell_arr, rmin, rmax, cmin, cmax = args
         patches, avg_int = extract_patches(
             img_zero, min_val, mask_dev, cell_arr, rmin, rmax, cmin, cmax,
-            patch_size=patch_size,
+            patch_size=patch_size, full_h=true_h, full_w=true_w,
         )
-        probs = runner.run_chunk(patches)
-        inflight.append((probs, avg_int, n_valid))
+        packer.submit(patches, n_valid, sink, start)
+        inflight.append((avg_int, n_valid))
         drain(config.prefetch_depth)
     drain(0)
+    if local_packer:
+        packer.finalize()
 
-    panel_probs = {
-        panel: (
-            np.concatenate(parts, axis=0)
-            if parts else np.zeros(
-                (0, next(s for s in runner.specs
-                         if s.panel == panel).model.num_classes),
-                np.float32,
-            )
-        )
-        for panel, parts in probs_parts.items()
-    }
     if int_parts:
         intensity = np.concatenate(int_parts, axis=0)
         intensity = (intensity + 1.0) / 2.0  # preprocess.py:146-149
@@ -201,5 +240,5 @@ def run_image(
         mean_col=ext.mean_col[ids],
         mask=mask_host,
         intensity_full=intensity,
-        panel_probs=panel_probs,
+        panel_probs=sink,
     )

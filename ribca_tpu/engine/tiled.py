@@ -270,8 +270,12 @@ def run_image_tiled(
     config,
     runner,
     band_rows: int | None = None,
+    packer=None,
 ) -> ImageRecord:
-    """Banded counterpart of engine.pipeline.run_image; same outputs."""
+    """Banded counterpart of engine.pipeline.run_image; same outputs.
+    ``packer`` as in run_image: shared CohortPacker for cross-image tail
+    packing (banded pieces submit with explicit row indices since cells
+    arrive in band order, not id order)."""
     if mask.ndim == 3:
         mask = mask[:, :, 0]
     mask = np.ascontiguousarray(mask).astype(np.int32)
@@ -347,9 +351,19 @@ def run_image_tiled(
     ext_rows = band_rows + patch_size            # extraction band height
     in_rows = ext_rows + 2 * halo                # prenorm input height
 
-    chunk = chunk_size_for(
+    local_packer = packer is None
+    if local_packer:
+        from ribca_tpu.engine.packer import CohortPacker
+        from ribca_tpu.engine.pipeline import pack_size
+
+        packer = CohortPacker(
+            runner, pack_size(config, n_dev), c,
+            prefetch_depth=config.prefetch_depth,
+        )
+    chunk = min(packer.pack, chunk_size_for(
         min(max(n, 1), config.chunk_cells), config.chunk_cells, n_dev
-    )
+    ))
+    sink = packer.make_sink(n)
 
     def pad_cells_arr(a, size, fill=0):
         out = np.full(size, fill, dtype=np.int32)
@@ -358,16 +372,11 @@ def run_image_tiled(
 
     inflight: deque = deque()
     order_parts: list[np.ndarray] = []
-    probs_parts: dict[str, list[np.ndarray]] = {
-        s.panel: [] for s in runner.specs
-    }
     int_parts: list[np.ndarray] = []
 
     def drain(limit: int):
         while len(inflight) > limit:
-            probs, avg, n_valid, idx = inflight.popleft()
-            for panel, arr in probs.items():
-                probs_parts[panel].append(np.asarray(arr[:n_valid]))
+            avg, n_valid, idx = inflight.popleft()
             int_parts.append(np.asarray(avg[:n_valid]))
             order_parts.append(idx)
 
@@ -435,27 +444,22 @@ def run_image_tiled(
             cell_arr, rmn, rmx, cmn, cmx = args
             patches, avg_int = extract_patches(
                 band_zero, min_val, mask_dev, cell_arr, rmn, rmx, cmn, cmx,
-                patch_size=patch_size, row_offset=s, full_h=h,
+                patch_size=patch_size, row_offset=s, full_h=h, full_w=w,
             )
-            probs = runner.run_chunk(patches)
-            inflight.append((probs, avg_int, n_valid, piece_idx))
+            packer.submit(patches, n_valid, sink, piece_idx)
+            inflight.append((avg_int, n_valid, piece_idx))
             drain(config.prefetch_depth)
     drain(0)
+    if local_packer:
+        packer.finalize()
 
-    # reassemble into ascending-cell-id order
+    # reassemble intensities into ascending-cell-id order (the packer
+    # scatters probs straight into the sink by explicit row index)
     if order_parts:
         order = np.concatenate(order_parts)
         inv = np.argsort(order, kind="stable")
-        panel_probs = {
-            panel: np.concatenate(parts, axis=0)[inv]
-            for panel, parts in probs_parts.items()
-        }
         intensity = ((np.concatenate(int_parts, axis=0) + 1.0) / 2.0)[inv]
     else:
-        panel_probs = {
-            s.panel: np.zeros((0, s.model.num_classes), np.float32)
-            for s in runner.specs
-        }
         intensity = np.zeros((0, c), np.float32)
 
     return ImageRecord(
@@ -464,5 +468,5 @@ def run_image_tiled(
         mean_col=ext.mean_col[ids],
         mask=mask,
         intensity_full=intensity,
-        panel_probs=panel_probs,
+        panel_probs=sink,
     )

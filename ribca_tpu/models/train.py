@@ -196,9 +196,10 @@ class Trainer:
             total += int(bw.sum())
         return correct / max(total, 1)
 
-    def save(self, path: str) -> str:
-        """Write an inference-ready .npz (models/registry.py layout)."""
+    def save(self, path: str, format: str = "npz") -> str:
+        """Write an inference-ready checkpoint (models/registry.py npz
+        layout, or an Orbax directory with ``format='orbax'``)."""
         host = jax.tree_util.tree_map(
             lambda a: np.asarray(a, np.float32), self.params
         )
-        return store.save_params(host, path)
+        return store.save_params(host, path, format=format)

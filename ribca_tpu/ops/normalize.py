@@ -44,7 +44,13 @@ def _normalize_channel(ch: jnp.ndarray, blur: float, amax: float) -> jnp.ndarray
 
     has_signal = jnp.any(ch > 0)
 
-    thresh = jnp.percentile(ch, amax)
+    # nanpercentile, not percentile: its squash-NaN branch is what the
+    # masked (shape-bucketed) variant below must use, and the two jax
+    # implementations differ by ~1 ulp in the q*(n-1) position math —
+    # using one implementation everywhere keeps single-shot, bucketed,
+    # and tiled-cache results bitwise identical (it also happens to track
+    # numpy's f64 result more closely).
+    thresh = jnp.nanpercentile(ch, amax)
     clipped = jnp.where(thresh > PCT_GUARD, jnp.clip(ch, 0.0, thresh), ch)
 
     denom = jnp.maximum(SCALE_FLOOR, jnp.max(clipped))
@@ -58,6 +64,65 @@ def normalize_image(img: jnp.ndarray, blur: float = 0.0, amax: float = 100.0):
     """Normalize a CHW stack; returns float32 in [-1, 1]."""
     fn = functools.partial(_normalize_channel, blur=blur, amax=amax)
     return jax.vmap(fn)(img.astype(jnp.float32))
+
+
+# -- canonical-shape (padded) variant ------------------------------------------
+#
+# Shape-bucketed uploads (ops/shapes.py) carry symmetric bottom/right padding
+# so one program serves a whole cohort. The Gaussian steps run over the padded
+# array (pad >= kernel radius + 'symmetric' boundary => valid region bitwise
+# equal to the unpadded reflect-mode filter); the global statistics must see
+# ONLY the true pixels. Pad pixels become NaN and the stats use the nan-aware
+# reductions — jnp.nanpercentile's squash-NaNs path computes the identical
+# sort + linear interpolation over the valid count, so the result is bitwise
+# equal to jnp.percentile over the unpadded image. Output pads stay NaN
+# (loud if ever consumed); the patch gather clamps at the true extents.
+
+
+def _normalize_channel_masked(ch, valid, blur: float, amax: float):
+    ch = ch.astype(jnp.float32)
+
+    bg = gaussian_blur(ch, BG_SIGMA, mode="reflect")
+    bg = jnp.minimum(bg, BG_CLIP)
+    ch = jnp.clip(ch - bg, 0.0, None)
+    if blur:
+        ch = gaussian_blur(ch, float(blur), mode="reflect")
+
+    chm = jnp.where(valid, ch, jnp.nan)
+    has_signal = jnp.any(chm > 0)          # NaN > 0 is False
+    thresh = jnp.nanpercentile(chm, amax)
+    clipped = jnp.where(thresh > PCT_GUARD, jnp.clip(chm, 0.0, thresh), chm)
+    denom = jnp.maximum(SCALE_FLOOR, jnp.nanmax(clipped))
+    scaled = 2.0 * (clipped / denom) - 1.0
+    return jnp.where(has_signal, scaled, jnp.full_like(ch, -1.0))
+
+
+@functools.partial(jax.jit, static_argnames=("blur", "amax"))
+def normalize_image_masked(img: jnp.ndarray, valid_h, valid_w,
+                           blur: float = 0.0, amax: float = 100.0):
+    """Normalize a shape-bucketed CHW stack whose true extent is
+    (valid_h, valid_w) — traced scalars, so every image in a bucket reuses
+    this program. Valid region matches ``normalize_image`` on the unpadded
+    image bitwise; pad pixels return NaN."""
+    _, h, w = img.shape
+    valid = (jnp.arange(h)[:, None] < valid_h) & (
+        jnp.arange(w)[None, :] < valid_w
+    )
+    fn = functools.partial(
+        _normalize_channel_masked, valid=valid, blur=blur, amax=amax
+    )
+    return jax.vmap(fn)(img.astype(jnp.float32))
+
+
+@jax.jit
+def cast_f32_masked(img: jnp.ndarray, valid_h, valid_w):
+    """normalize=False counterpart: f32 cast with NaN pads, so the masked
+    min/zero-shift in the pipeline sees only true pixels."""
+    _, h, w = img.shape
+    valid = (jnp.arange(h)[:, None] < valid_h) & (
+        jnp.arange(w)[None, :] < valid_w
+    )
+    return jnp.where(valid, img.astype(jnp.float32), jnp.nan)
 
 
 # -- tiled (banded) two-pass pieces (engine/tiled.py) -------------------------
@@ -131,13 +196,13 @@ def percentile_from_hist(hist: np.ndarray, hi: float, q: float,
 @functools.partial(jax.jit, static_argnames=("amax",))
 def stats_from_pre_channel(ch: jnp.ndarray, amax: float):
     """EXACT normalization scalars (thresh, denom, scaled_min, has_signal)
-    for one prenormed channel — the same jnp.percentile/max math as
+    for one prenormed channel — the same nanpercentile/max math as
     ``_normalize_channel`` steps 3-5, so a banded run whose prenormed
     pixels are device-resident reproduces the single-shot path bit-for-bit
     (no histogram approximation). Called per channel (Python loop) so the
     sort workspace never exceeds one channel."""
     has_signal = jnp.any(ch > 0)
-    thresh = jnp.percentile(ch, amax)
+    thresh = jnp.nanpercentile(ch, amax)
     clipped = jnp.where(thresh > PCT_GUARD, jnp.clip(ch, 0.0, thresh), ch)
     denom = jnp.maximum(SCALE_FLOOR, jnp.max(clipped))
     # min of the scaled channel: scaling is monotone, so it is attained at

@@ -86,13 +86,16 @@ def apply_panel_gather(patches: jnp.ndarray, pg: PanelGather) -> jnp.ndarray:
 
 
 def _gather_windows(img_zero, mask, rmin, rmax, cmin, cmax, patch_size,
-                    offset, row_offset, full_h):
+                    offset, row_offset, full_h, full_w):
     """Window gather; ``img_zero``/``mask`` may be a row BAND of the full
     image starting at global row ``row_offset`` (engine/tiled.py), in which
     case ``full_h`` is the full image height for the bottom-clamp
-    semantics (utils.py:239-240). Callers guarantee each cell's window
-    rows fall inside the band (+halo)."""
-    band_h, w = mask.shape
+    semantics (utils.py:239-240). ``full_w`` is the true image width —
+    shape-bucketed uploads (ops/shapes.py) carry pad columns beyond it
+    whose pixels (NaN after masked normalization) must read as
+    out-of-image. Callers guarantee each cell's window rows fall inside
+    the band (+halo)."""
+    band_h = mask.shape[0]
 
     def one(rmn, rmx, cmn, cmx):
         x_mean = (rmn + rmx) // 2
@@ -103,7 +106,7 @@ def _gather_windows(img_zero, mask, rmin, rmax, cmin, cmax, patch_size,
         cols = ymin + jnp.arange(patch_size)
         local = rows - row_offset
         vr = (rows < full_h) & (local >= 0) & (local < band_h)
-        vc = cols < w
+        vc = cols < full_w
         rc = jnp.where(vr, local, 0)
         cc = jnp.where(vc, cols, 0)
         # ONE combined 2-D gather: chaining [:, rc][:, :, cc] materializes
@@ -112,7 +115,11 @@ def _gather_windows(img_zero, mask, rmin, rmax, cmin, cmax, patch_size,
         ip = img_zero[:, rc[:, None], cc[None, :]]
         mp = mask[rc[:, None], cc[None, :]]
         valid = vr[:, None] & vc[None, :]
-        return ip * valid[None], jnp.where(valid, mp, 0)
+        # where-select, not multiply: pad pixels are NaN and NaN*0 = NaN
+        return (
+            jnp.where(valid[None], ip, 0.0),
+            jnp.where(valid, mp, 0),
+        )
 
     return jax.vmap(one)(rmin, rmax, cmin, cmax)
 
@@ -174,6 +181,7 @@ def extract_patches(
     out_size: int = OUT_SIZE,
     row_offset=0,            # band-mode: global row of img_zero[., 0, .]
     full_h=None,             # band-mode: full image height
+    full_w=None,             # bucketed uploads: true image width
 ):
     """Returns (patches (N,C,out,out) f32, avg_int (N,C) f32)."""
     p = int(patch_size)
@@ -182,10 +190,13 @@ def extract_patches(
     offset = p // 2 if p % 2 == 0 else (p + 1) // 2
     if full_h is None:
         full_h = mask.shape[0]
+    if full_w is None:
+        full_w = mask.shape[1]
 
     ip, mp = _gather_windows(
         img_zero, mask, rmin, rmax, cmin, cmax, p, offset,
         jnp.asarray(row_offset, jnp.int32), jnp.asarray(full_h, jnp.int32),
+        jnp.asarray(full_w, jnp.int32),
     )
     cm = (mp == cell_ids[:, None, None]).astype(jnp.float32)
     sm = _soft_mask(cm)

@@ -1,0 +1,55 @@
+"""Canonical image-shape buckets: one compiled program per bucket.
+
+The reference pays no per-image warmup (its torch loops are eager,
+main.py:39-52); under XLA every new (H, W) spawns fresh compiles of the
+normalization and patch-extraction programs — on a remote-compiled TPU a
+cohort of slightly-different-sized slides spent more wall time compiling
+than computing. Canonicalization rounds every uploaded image up to a
+shape ladder so image #2..N of a cohort reuse image #1's programs:
+
+* H and W round up to multiples of ``SHAPE_STEP`` with at least
+  ``pad_min`` rows/cols of padding (the Gaussian halo), so cohorts of
+  similar-but-unequal slides share one bucket;
+* the image pads bottom/right with numpy 'symmetric' — scipy's 'reflect'
+  boundary — so the background/blur Gaussians see exactly the pixels the
+  unpadded reflect-mode filter would (pad >= kernel radius), keeping the
+  prenorm bit-identical in the valid region;
+* the mask zero-pads (background), and the true (H, W) travel as traced
+  scalars: normalization statistics mask the pad to NaN
+  (ops/normalize.normalize_image_masked) and the patch gather clamps at
+  the true extents (ops/patches full_h/full_w), so results are bitwise
+  equal to the unpadded run.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+SHAPE_STEP = 256
+SHAPE_FLOOR = 256
+
+
+def bucket_dim(n: int, pad_min: int = 0, step: int = SHAPE_STEP,
+               floor: int = SHAPE_FLOOR) -> int:
+    """Smallest ladder value >= n + pad_min (multiples of ``step``)."""
+    need = int(n) + int(pad_min)
+    b = max(floor, ((need + step - 1) // step) * step)
+    return b
+
+
+def pad_image_chw(image: np.ndarray, hb: int, wb: int) -> np.ndarray:
+    """Pad a (C, H, W) stack bottom/right to (C, hb, wb) with the scipy
+    'reflect' boundary (numpy 'symmetric'), in the source dtype."""
+    c, h, w = image.shape
+    if h == hb and w == wb:
+        return image
+    return np.pad(image, ((0, 0), (0, hb - h), (0, wb - w)),
+                  mode="symmetric")
+
+
+def pad_mask_hw(mask: np.ndarray, hb: int, wb: int) -> np.ndarray:
+    """Zero-pad a (H, W) instance mask bottom/right (0 = background)."""
+    h, w = mask.shape
+    if h == hb and w == wb:
+        return mask
+    return np.pad(mask, ((0, hb - h), (0, wb - w)))

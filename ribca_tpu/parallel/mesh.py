@@ -75,6 +75,34 @@ def shard_chunk(arrays, mesh: Mesh):
     return jax.tree_util.tree_map(lambda a: jax.device_put(a, sh), arrays)
 
 
+@functools.lru_cache(maxsize=8)
+def get_local_mesh(platform: str | None = None) -> Mesh:
+    """1-D mesh over THIS HOST's devices only.
+
+    Multi-host batch mode partitions slides across hosts (one host = one
+    subset of images, api/annotator.py); each host then runs its own
+    per-slide programs on its local chips with no cross-host collectives
+    — per-slide work needs only ICI (SURVEY §5), and hosts running
+    different dispatch counts must not share a global mesh."""
+    devices = None
+    if platform and platform not in ("cuda", "gpu"):
+        try:
+            devices = jax.local_devices(backend=platform)
+        except RuntimeError:
+            devices = None
+    if devices is None:
+        devices = jax.local_devices()
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def host_image_shard(n_images: int, process_index: int,
+                     process_count: int) -> list[int]:
+    """Round-robin slide assignment for multi-host batch processing:
+    host p takes images p, p+P, p+2P, ... (deterministic, no
+    coordination)."""
+    return list(range(process_index, n_images, process_count))
+
+
 def maybe_init_distributed() -> bool:
     """Initialize ``jax.distributed`` for multi-host batch processing when
     the standard coordinator env vars are present (SURVEY §5: cross-host

@@ -56,7 +56,12 @@ class AnnotatorConfig:
     prefetch_depth: int = 2            # host->device double buffering
     data_parallel: bool = True         # shard the cell axis over all chips
     use_native_scanner: bool = True    # C++ mask scanner when built
-    chunk_cells: int = 65536           # cells per device dispatch
+    chunk_cells: int = 65536           # cells per device dispatch (cap)
+    # cells per PACKED ensemble dispatch: the cohort packer
+    # (engine/packer.py) fills buffers of this size across images, so
+    # bucket padding is paid once per run; throughput is flat from ~2k
+    # cells up (BASELINE.md), so 8192 trades nothing for HBM headroom
+    pack_cells: int = 8192
     profile_dir: Optional[str] = None  # jax.profiler trace output dir
     # whole-slide images above this f32 footprint stream through the
     # banded pipeline (engine/tiled.py) instead of living in HBM whole
@@ -72,12 +77,23 @@ class AnnotatorConfig:
     # persistent XLA compile cache (cold-start compiles are expensive,
     # minutes on remote-compiled TPU); "" disables
     compile_cache_dir: str = "~/.cache/ribca_tpu/xla"
+    # round uploaded images up to a canonical shape ladder (ops/shapes.py)
+    # so a cohort of similar-sized images reuses one set of compiled
+    # programs; bitwise-equal results via masked statistics + clamped
+    # gathers. False uploads exact shapes (one compile set per shape).
+    canonical_shapes: bool = True
     # TIFF stacks above this decoded size stream from disk band-by-band
     # (io/tiff_stream.py) instead of materializing in host RAM
     host_image_budget_bytes: int = 8 << 30
     # run with random-initialized weights when checkpoints are missing
     # (loudly logged + stderr warning); False makes missing weights fatal
     allow_random_weights: bool = True
+    # multi-host batch runs (jax.distributed initialized): partition the
+    # manifest's slides across hosts round-robin, each host annotating
+    # its subset on its LOCAL chips (no cross-host collectives; results
+    # land in per-host result dirs). False replicates all slides on
+    # every host.
+    multi_host_image_sharding: bool = True
 
     def __post_init__(self):
         if self.cell_type_confidence is None:

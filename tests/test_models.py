@@ -148,3 +148,17 @@ def test_param_store_roundtrip(tmp_path):
         np.asarray(model.apply({"params": back}, x)),
         atol=1e-6,
     )
+
+
+def test_param_store_orbax_roundtrip(tmp_path):
+    """Orbax backend (ROADMAP #7): directory checkpoint, same tree back;
+    load_params auto-detects the directory layout."""
+    pytest.importorskip("orbax.checkpoint")
+    model = build_panel_model("nerve_cell")
+    params = jax.tree.map(np.asarray, init_params(model, seed=4))
+    p = str(tmp_path / "nerve_orbax")
+    out = save_params(params, p, format="orbax")
+    back = load_params(out)
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

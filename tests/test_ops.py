@@ -95,7 +95,7 @@ def test_soft_mask_matches_oracle():
         jnp.zeros((1, 60, 60)), jnp.asarray(mask),
         jnp.asarray([ext.rmin[cid]]), jnp.asarray([ext.rmax[cid]]),
         jnp.asarray([ext.cmin[cid]]), jnp.asarray([ext.cmax[cid]]),
-        40, 20, jnp.int32(0), jnp.int32(60),
+        40, 20, jnp.int32(0), jnp.int32(60), jnp.int32(60),
     )
     sm = np.asarray(_soft_mask((np.asarray(mp) == cid).astype(np.float32)))[0]
     _, avg = None, None

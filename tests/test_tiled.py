@@ -43,7 +43,7 @@ def fixture():
 
 def test_tiled_matches_single_shot_no_normalize(runner, fixture):
     img, mask = fixture
-    cfg = AnnotatorConfig(normalize=False)
+    cfg = AnnotatorConfig(normalize=False, canonical_shapes=False)
     whole = run_image(img, mask, cfg, runner)
     tiled = run_image_tiled(img, mask, cfg, runner, band_rows=160)
     np.testing.assert_array_equal(whole.cell_ids, tiled.cell_ids)
@@ -60,7 +60,8 @@ def test_tiled_matches_single_shot_normalized_histogram(runner, fixture):
     """Two-pass histogram fallback (cache budget forced to 0)."""
     img, mask = fixture
     cfg = AnnotatorConfig(normalize=True, blur=0.3, upper_limit=99.8,
-                          device_prenorm_cache_bytes=0)
+                          device_prenorm_cache_bytes=0,
+                          canonical_shapes=False)
     whole = run_image(img, mask, cfg, runner)
     tiled = run_image_tiled(img, mask, cfg, runner, band_rows=160)
     np.testing.assert_allclose(
@@ -109,7 +110,8 @@ def test_tiled_cache_mode_bit_exact(runner, fixture):
     """Single-upload cache mode must reproduce single-shot EXACTLY (no
     histogram approximation) while decoding every row exactly once."""
     img, mask = fixture
-    cfg = AnnotatorConfig(normalize=True, blur=0.3, upper_limit=99.8)
+    cfg = AnnotatorConfig(normalize=True, blur=0.3, upper_limit=99.8,
+                          canonical_shapes=False)
     assert img.size * 4 <= cfg.device_prenorm_cache_bytes
     whole = run_image(img, mask, cfg, runner)
     reader = CountingReader(img)

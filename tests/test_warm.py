@@ -1,0 +1,67 @@
+"""warm_cache: AOT pre-compilation of the program ladder + compile
+accounting in the trace (VERDICT r1 "next" #3)."""
+
+import json
+import os
+
+import pytest
+
+from ribca_tpu.api.annotator import Annotator
+from ribca_tpu.engine.pipeline import dispatch_ladder
+from ribca_tpu.panels.vocab import PANELS
+from ribca_tpu.utils.config import AnnotatorConfig
+
+
+def test_dispatch_ladder():
+    assert dispatch_ladder(256, 1) == [64, 128, 256]
+    # cap not a power of two still appears once, rounded to the mesh
+    assert dispatch_ladder(96, 8) == [64, 96]
+    assert dispatch_ladder(64, 8) == [64]
+
+
+@pytest.fixture()
+def cfg(tmp_path):
+    mf = tmp_path / "markers.txt"
+    mf.write_text("\n".join(PANELS["immune_base"]) + "\n")
+    return AnnotatorConfig(
+        marker_file=str(mf), main_dir=str(tmp_path), chunk_cells=128,
+        compile_cache_dir="",
+    )
+
+
+def test_warm_cache_counts_programs(cfg, tmp_path):
+    a = Annotator(cfg, models_dir=str(tmp_path / "empty"))
+    # ladder {64, 128} -> 2 ensemble programs; one shape bucket adds
+    # normalize + 2 extraction programs
+    n = a.warm_cache(image_shapes=[(100, 90), (120, 110)])
+    assert n == 2 + 1 + 2
+    stats = a.logger.compile_stats
+    assert stats["xla.compile_count"] >= n
+    assert stats["xla.compile_secs"] > 0
+
+
+def test_trace_records_compiles(cfg, tmp_path):
+    a = Annotator(cfg, models_dir=str(tmp_path / "empty"))
+    a.warm_cache()
+    a.logger.write_trace_summary()
+    trace = json.load(open(
+        os.path.join(str(tmp_path), "results", "trace.json")
+    ))
+    assert trace["xla.compile_count"] >= 2
+    assert "warm.ensemble" in trace
+
+
+def test_cli_warm_flag_parses():
+    from ribca_tpu.cli import parse_args, _parse_warm_shapes
+
+    args = parse_args([
+        "--marker-list-path", "m.txt", "--batch-id", "b", "--warm-cache",
+        "--warm-shapes", "3000x3000,2048x1024",
+    ])
+    assert args.warm_cache
+    assert _parse_warm_shapes(args.warm_shapes) == [
+        (3000, 3000), (2048, 1024)
+    ]
+    # image/batch still required without --warm-cache
+    with pytest.raises(SystemExit):
+        parse_args(["--marker-list-path", "m.txt", "--batch-id", "b"])
