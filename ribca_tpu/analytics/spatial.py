@@ -37,10 +37,23 @@ MULTISCALE_KS = (10, 20, 30, 50, 75, 100, 150, 200)
 
 def _knn_indices(coords: np.ndarray, k: int) -> np.ndarray:
     """Indices of the k nearest neighbors per cell, self excluded
-    (column 0 of the sklearn result, spatial_methods.py:37-38,163)."""
+    (column 0 of the sklearn result, spatial_methods.py:37-38,163).
+
+    Whole-slide scale (>= ops/knn.DEVICE_KNN_MIN cells) runs the exact
+    tiled brute-force query on the TPU mesh — the host ball tree is
+    single-core and takes minutes at 10^6 cells; small inputs stay on
+    the (faster there) sklearn path."""
     k = min(k, len(coords) - 1)
     if k <= 0:
         return np.zeros((len(coords), 0), dtype=np.int64)
+
+    from ribca_tpu.ops.knn import DEVICE_KNN_MIN, knn_indices_device
+
+    if len(coords) >= DEVICE_KNN_MIN:
+        try:
+            return knn_indices_device(coords, k)
+        except Exception:  # no devices / OOM: host fallback
+            pass
     nbrs = NearestNeighbors(n_neighbors=k + 1, algorithm="ball_tree").fit(
         coords
     )
@@ -172,22 +185,33 @@ def multiscale_composition(
     kmax = min(max(ks), len(coords) - 1)
     idx = _knn_indices(coords, kmax)
     n = len(coords)
-    onehot = np.zeros((n, kmax, n_types), dtype=np.float32)
-    if idx.size:
-        rows = np.repeat(np.arange(n), idx.shape[1])
-        cols = np.tile(np.arange(idx.shape[1]), n)
-        onehot[rows, cols, type_ids[idx.reshape(-1)]] = 1.0
-    cum = np.cumsum(onehot, axis=1)
-    feats = []
-    for k in ks:
-        kk = min(k, kmax)
-        counts = cum[:, kk - 1] if kk >= 1 else np.zeros((n, n_types))
-        total = counts.sum(axis=1, keepdims=True)
-        feats.append(
-            np.divide(counts, total, out=np.zeros_like(counts),
-                      where=total > 0)
-        )
-    return np.concatenate(feats, axis=1)
+    out = np.empty((n, len(ks) * n_types), dtype=np.float32)
+    # blockwise: the (block, kmax, n_types) one-hot cumsum stays ~1 GB
+    # instead of materializing (N, 200, T) — 15 GB at 10^6 cells
+    block = max(1, (1 << 26) // max(kmax * n_types, 1))
+    for s in range(0, n, block):
+        e = min(s + block, n)
+        m = e - s
+        onehot = np.zeros((m, kmax, n_types), dtype=np.float32)
+        if idx.size:
+            rows = np.repeat(np.arange(m), idx.shape[1])
+            cols = np.tile(np.arange(idx.shape[1]), m)
+            onehot[rows, cols, type_ids[idx[s:e].reshape(-1)]] = 1.0
+        cum = np.cumsum(onehot, axis=1)
+        feats = []
+        for k in ks:
+            kk = min(k, kmax)
+            counts = (
+                cum[:, kk - 1] if kk >= 1
+                else np.zeros((m, n_types), np.float32)
+            )
+            total = counts.sum(axis=1, keepdims=True)
+            feats.append(
+                np.divide(counts, total, out=np.zeros_like(counts),
+                          where=total > 0)
+            )
+        out[s:e] = np.concatenate(feats, axis=1)
+    return out
 
 
 def tissue_region_partition(

@@ -214,7 +214,7 @@ class Annotator:
         import jax
         import jax.numpy as jnp
 
-        from ribca_tpu.engine.pipeline import dispatch_ladder
+        from ribca_tpu.engine.pipeline import dispatch_ladder, pack_size
         from ribca_tpu.ops.normalize import halo_radius
         from ribca_tpu.ops.patches import extract_patches
         from ribca_tpu.ops.shapes import bucket_dim
@@ -223,7 +223,8 @@ class Annotator:
         cfg = self.config
         n_dev = self.mesh.size
         c = self.channel_parser.n_markers
-        ladder = dispatch_ladder(cfg.chunk_cells, n_dev)
+        # the packed pipeline never dispatches beyond the pack size
+        ladder = dispatch_ladder(pack_size(cfg, n_dev), n_dev)
         params, imp = runner._params_on_device()
 
         count = 0

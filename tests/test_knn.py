@@ -1,0 +1,72 @@
+"""Device kNN (ops/knn.py) vs the sklearn host oracle.
+
+Exact tiled brute force: neighbor SETS must match sklearn away from
+distance ties; jittered coordinates make ties measure-zero."""
+
+import numpy as np
+import pytest
+
+from ribca_tpu.ops.knn import knn_indices_device
+from sklearn.neighbors import NearestNeighbors
+
+
+def _oracle(coords, k):
+    nbrs = NearestNeighbors(n_neighbors=k + 1).fit(coords)
+    return nbrs.kneighbors(coords)[1][:, 1:]
+
+
+def _sets_equal(a, b):
+    assert a.shape == b.shape
+    np.testing.assert_array_equal(np.sort(a, axis=1), np.sort(b, axis=1))
+
+
+@pytest.mark.parametrize("n,k", [(57, 5), (300, 24), (1000, 9)])
+def test_matches_sklearn(n, k, rng):
+    coords = rng.uniform(0, 1000, size=(n, 2)) + rng.normal(
+        scale=1e-3, size=(n, 2)
+    )
+    ours = knn_indices_device(coords, k, q_block=128, p_chunk=64)
+    _sets_equal(ours, _oracle(coords, k))
+
+
+def test_blocking_invariance(rng):
+    """Same result whatever the tile sizes (incl. single-tile)."""
+    coords = rng.uniform(0, 500, size=(200, 2))
+    a = knn_indices_device(coords, 7, q_block=64, p_chunk=64)
+    b = knn_indices_device(coords, 7, q_block=512, p_chunk=1024)
+    _sets_equal(a, b)
+
+
+def test_k_clamped_and_empty(rng):
+    coords = rng.uniform(0, 10, size=(5, 2))
+    out = knn_indices_device(coords, 10)  # k > n-1 -> clamped to 4
+    assert out.shape == (5, 4)
+    one = knn_indices_device(coords[:1], 3)
+    assert one.shape == (1, 0)
+
+
+def test_self_excluded(rng):
+    coords = rng.uniform(0, 100, size=(64, 2))
+    out = knn_indices_device(coords, 8, q_block=64, p_chunk=64)
+    for i in range(64):
+        assert i not in out[i]
+
+
+def test_spatial_uses_device_at_scale(monkeypatch, rng):
+    """_knn_indices routes to the device path beyond the threshold."""
+    from ribca_tpu.analytics import spatial
+    from ribca_tpu.ops import knn as knn_mod
+
+    calls = []
+    real = knn_mod.knn_indices_device
+
+    def spy(coords, k, **kw):
+        calls.append(len(coords))
+        return real(coords, k, q_block=128, p_chunk=256)
+
+    monkeypatch.setattr(knn_mod, "DEVICE_KNN_MIN", 100)
+    monkeypatch.setattr(knn_mod, "knn_indices_device", spy)
+    coords = rng.uniform(0, 1000, size=(150, 2))
+    out = spatial._knn_indices(coords, 6)
+    assert calls == [150]
+    _sets_equal(out, _oracle(coords, 6))
