@@ -338,10 +338,14 @@ class Annotator:
 
     def _predict_images(self, cfg, runner) -> None:
 
-        # decode image i+1 on a host thread while image i runs on device
-        # (the reference's only batch overlap was disk .pt files; here the
-        # host IO hides behind device compute)
+        # decode AND stage image i+1 on a host thread while image i runs
+        # on device: TIFF/mask decode, canonical pad, the (async)
+        # device_put uploads, and the extents scan all hide behind the
+        # previous image's ensemble compute (the reference's only batch
+        # overlap was disk .pt files)
         from concurrent.futures import ThreadPoolExecutor
+
+        from ribca_tpu.engine.pipeline import stage_image
 
         def decode(paths):
             from ribca_tpu.io.tiff_stream import open_image
@@ -358,7 +362,9 @@ class Annotator:
                             cfg.host_image_budget_bytes),
                 ),
             )
-            return image, read_mask(mask_path)
+            # StagedImage for the single-shot path; raw (image, mask)
+            # pass-through for slides that take the banded pipeline
+            return stage_image(image, read_mask(mask_path), cfg, self.mesh)
 
         pairs = list(zip(self._image_paths, self._mask_paths))
 
@@ -390,20 +396,26 @@ class Annotator:
         from ribca_tpu.engine.packer import CohortPacker
         from ribca_tpu.engine.pipeline import pack_size
 
+        from ribca_tpu.engine.pipeline import effective_prefetch_depth
+
+        pk = pack_size(cfg, self.mesh.size)
         packer = CohortPacker(
-            runner, pack_size(cfg, self.mesh.size),
-            self.channel_parser.n_markers,
-            prefetch_depth=cfg.prefetch_depth,
+            runner, pk, self.channel_parser.n_markers,
+            prefetch_depth=effective_prefetch_depth(
+                cfg, pk, self.channel_parser.n_markers
+            ),
         )
         with ThreadPoolExecutor(max_workers=1) as pool:
             pending = pool.submit(decode, pairs[0]) if pairs else None
             for i, (img_path, _) in enumerate(pairs):
                 with self.logger.stage("io.read"):
-                    image, mask = pending.result()
+                    item = pending.result()
                 pending = (
                     pool.submit(decode, pairs[i + 1])
                     if i + 1 < len(pairs) else None
                 )
+                image, mask = item if isinstance(item, tuple) else (item,
+                                                                    None)
                 with self.logger.stage("device.pipeline"):
                     record = run_image(image, mask, cfg, runner,
                                        packer=packer)
@@ -678,15 +690,37 @@ class Annotator:
         self.logger.write_trace_summary()
 
 
+def _host_fingerprint() -> str:
+    """Short hash of this host's CPU feature flags. XLA:CPU loads cached
+    AOT executables compiled on a DIFFERENT machine generation with only
+    a warning — and they can run orders of magnitude slower (observed:
+    a sub-second ensemble flush taking 340 s from a stale cache).
+    Keying the cache dir on the feature set sidesteps that."""
+    try:
+        import hashlib
+
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha1(line.encode()).hexdigest()[:10]
+    except Exception:
+        pass
+    return "generic"
+
+
 def _enable_compile_cache(cache_dir: str | None) -> None:
     """Persistent XLA compile cache (cold compiles cost minutes on
-    remote-compiled TPUs); safe no-op when disabled or already set."""
+    remote-compiled TPUs); safe no-op when disabled or already set.
+    The directory is keyed on the host CPU fingerprint — see
+    ``_host_fingerprint``."""
     if not cache_dir:
         return
     import jax
 
     try:
-        path = os.path.expanduser(cache_dir)
+        path = os.path.join(
+            os.path.expanduser(cache_dir), _host_fingerprint()
+        )
         os.makedirs(path, exist_ok=True)
         if jax.config.jax_compilation_cache_dir is None:
             jax.config.update("jax_compilation_cache_dir", path)

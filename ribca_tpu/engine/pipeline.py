@@ -73,26 +73,37 @@ def dispatch_ladder(cap: int, n_devices: int) -> list[int]:
     return sorted(sizes)
 
 
-def preprocess_image(
-    image: np.ndarray,
-    mask: np.ndarray,
-    config,
-    mesh,
-):
-    """Normalize + extents; returns (img_zero, min_val, mask_dev,
-    mask_host, extents, (true_h, true_w)) with the image replicated on
-    the mesh.
+@dataclasses.dataclass
+class StagedImage:
+    """Host-side staging result: canonical pad done, image + mask uploads
+    in flight (device_put is async), extents scanned. Produced on the
+    batch decode-ahead thread so wire transfer and host pad overlap the
+    PREVIOUS image's ensemble compute."""
 
-    The upload is shape-bucketed (ops/shapes.py): H/W round up to a
-    canonical ladder with 'symmetric' image pad and zero mask pad, so a
-    cohort of similar-sized images compiles ONE set of programs. The true
-    extent travels as traced scalars; statistics and the patch gather
-    mask the pad, keeping results bitwise equal to the unpadded run."""
+    img_dev: object               # (C, Hb, Wb) source-dtype, replicated
+    mask_dev: object              # (Hb, Wb) int32, replicated
+    mask_host: np.ndarray         # true-shape int32
+    extents: object               # ops.extents result on the true mask
+    true_hw: tuple
+    n_channels: int
+
+
+def stage_image(image, mask, config, mesh):
+    """Pad + upload + extents for the single-shot path. Returns the raw
+    ``(image, mask)`` pair untouched when the image must take the banded
+    pipeline (too big for HBM, or a streaming reader)."""
+    budget = getattr(config, "device_image_budget_bytes", 2 << 30)
+    if (
+        int(np.prod(image.shape)) * 4 > budget
+        or hasattr(image, "read_band")
+    ):
+        return (image, mask)
+
     if mask.ndim == 3:
         mask = mask[:, :, 0]
     mask = np.ascontiguousarray(mask).astype(np.int32)
     image = np.asarray(image)
-    _, h, w = image.shape
+    c, h, w = image.shape
 
     if getattr(config, "canonical_shapes", True):
         # exactness needs pad >= the Gaussian kernel radius
@@ -103,26 +114,53 @@ def preprocess_image(
 
     rep = replicated_sharding(mesh)
     # upload in the source dtype (uint16 slides are half the bytes of f32;
-    # host->device bandwidth is the scarce resource) and cast on device
+    # host->device bandwidth is the scarce resource); cast happens on
+    # device in preprocess_image
     img_dev = jax.device_put(pad_image_chw(image, hb, wb), rep)
+    mask_dev = jax.device_put(pad_mask_hw(mask, hb, wb), rep)
+    extents = cell_extents(
+        mask, prefer_native=getattr(config, "use_native_scanner", True)
+    )
+    return StagedImage(img_dev, mask_dev, mask, extents, (h, w), c)
+
+
+def preprocess_image(
+    image,
+    mask,
+    config,
+    mesh,
+):
+    """Normalize + extents; returns (img_zero, min_val, mask_dev,
+    mask_host, extents, (true_h, true_w)) with the image replicated on
+    the mesh. ``image`` may be a raw array or an already-StagedImage
+    (batch mode stages on the decode-ahead thread).
+
+    The upload is shape-bucketed (ops/shapes.py): H/W round up to a
+    canonical ladder with 'symmetric' image pad and zero mask pad, so a
+    cohort of similar-sized images compiles ONE set of programs. The true
+    extent travels as traced scalars; statistics and the patch gather
+    mask the pad, keeping results bitwise equal to the unpadded run."""
+    st = (
+        image if isinstance(image, StagedImage)
+        else stage_image(image, mask, config, mesh)
+    )
+    if not isinstance(st, StagedImage):
+        raise ValueError("image exceeds the single-shot device budget")
+    h, w = st.true_hw
     if config.normalize:
         img_dev = normalize_image_masked(
-            img_dev, h, w,
+            st.img_dev, h, w,
             blur=float(config.blur), amax=float(config.upper_limit),
         )
     else:
-        img_dev = cast_f32_masked(img_dev, h, w)
+        img_dev = cast_f32_masked(st.img_dev, h, w)
 
     # _move_image_range (preprocess.py:153-157): per-channel min shift.
     # nan-aware: pad pixels are NaN by the masked-normalization contract.
     min_val = jnp.nanmin(img_dev, axis=(1, 2))
     img_zero = img_dev - min_val[:, None, None]
 
-    mask_dev = jax.device_put(pad_mask_hw(mask, hb, wb), rep)
-    extents = cell_extents(
-        mask, prefer_native=getattr(config, "use_native_scanner", True)
-    )
-    return img_zero, min_val, mask_dev, mask, extents, (h, w)
+    return img_zero, min_val, st.mask_dev, st.mask_host, st.extents, (h, w)
 
 
 def pack_size(config, n_devices: int) -> int:
@@ -132,6 +170,18 @@ def pack_size(config, n_devices: int) -> int:
     if rem:
         pack += n_devices - rem
     return pack
+
+
+def effective_prefetch_depth(config, pack: int, n_channels: int) -> int:
+    """Dispatch-ahead queue depth: explicit config wins; 0 = auto, sized
+    so the in-flight patch buffers stay under ~2 GB of HBM (measured on
+    the tunneled chip: deeper queues hide host decode/staging behind
+    device compute; unbounded ones risk OOM at wide panels)."""
+    d = getattr(config, "prefetch_depth", 0)
+    if d and d > 0:
+        return d
+    piece_bytes = pack * n_channels * 1600 * 4
+    return max(2, min(8, (2 << 30) // max(piece_bytes, 1)))
 
 
 def run_image(
@@ -152,14 +202,19 @@ def run_image(
     record's ``panel_probs`` are only complete after ``packer.finalize()``.
     Without one, a local packer is created and finalized before return.
     """
-    budget = getattr(config, "device_image_budget_bytes", 2 << 30)
-    if (
-        int(np.prod(image.shape)) * 4 > budget
-        or hasattr(image, "read_band")  # streaming whole-slide reader
-    ):
-        from ribca_tpu.engine.tiled import run_image_tiled
+    if isinstance(image, StagedImage):
+        n_channels = image.n_channels
+    else:
+        budget = getattr(config, "device_image_budget_bytes", 2 << 30)
+        if (
+            int(np.prod(image.shape)) * 4 > budget
+            or hasattr(image, "read_band")  # streaming whole-slide reader
+        ):
+            from ribca_tpu.engine.tiled import run_image_tiled
 
-        return run_image_tiled(image, mask, config, runner, packer=packer)
+            return run_image_tiled(image, mask, config, runner,
+                                   packer=packer)
+        n_channels = image.shape[0]
 
     mesh = runner.mesh
     n_dev = mesh.size
@@ -175,9 +230,11 @@ def run_image(
     if local_packer:
         from ribca_tpu.engine.packer import CohortPacker
 
+        pk = pack_size(config, n_dev)
         packer = CohortPacker(
-            runner, pack_size(config, n_dev), image.shape[0],
-            prefetch_depth=config.prefetch_depth,
+            runner, pk, n_channels,
+            prefetch_depth=effective_prefetch_depth(config, pk,
+                                                    n_channels),
         )
     chunk = min(packer.pack,
                 chunk_size_for(min(max(n, 1), config.chunk_cells),
@@ -223,7 +280,7 @@ def run_image(
         )
         packer.submit(patches, n_valid, sink, start)
         inflight.append((avg_int, n_valid))
-        drain(config.prefetch_depth)
+        drain(packer.prefetch_depth)
     drain(0)
     if local_packer:
         packer.finalize()
@@ -232,7 +289,7 @@ def run_image(
         intensity = np.concatenate(int_parts, axis=0)
         intensity = (intensity + 1.0) / 2.0  # preprocess.py:146-149
     else:
-        intensity = np.zeros((0, image.shape[0]), np.float32)
+        intensity = np.zeros((0, n_channels), np.float32)
 
     return ImageRecord(
         cell_ids=ids,

@@ -356,9 +356,12 @@ def run_image_tiled(
         from ribca_tpu.engine.packer import CohortPacker
         from ribca_tpu.engine.pipeline import pack_size
 
+        from ribca_tpu.engine.pipeline import effective_prefetch_depth
+
+        pk = pack_size(config, n_dev)
         packer = CohortPacker(
-            runner, pack_size(config, n_dev), c,
-            prefetch_depth=config.prefetch_depth,
+            runner, pk, c,
+            prefetch_depth=effective_prefetch_depth(config, pk, c),
         )
     chunk = min(packer.pack, chunk_size_for(
         min(max(n, 1), config.chunk_cells), config.chunk_cells, n_dev
@@ -448,7 +451,7 @@ def run_image_tiled(
             )
             packer.submit(patches, n_valid, sink, piece_idx)
             inflight.append((avg_int, n_valid, piece_idx))
-            drain(config.prefetch_depth)
+            drain(packer.prefetch_depth)
     drain(0)
     if local_packer:
         packer.finalize()

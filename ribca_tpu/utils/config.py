@@ -53,7 +53,11 @@ class AnnotatorConfig:
 
     # TPU-native extensions (absent from the reference)
     dtype: str = "bfloat16"            # compute dtype of the model ensemble
-    prefetch_depth: int = 2            # host->device double buffering
+    # dispatched-ahead work the host may queue before blocking on device
+    # results; 0 = auto (bounded to ~2 GB of in-flight patch buffers,
+    # engine/pipeline.effective_prefetch_depth). Deeper queues let host
+    # decode/staging overlap device compute on serialized links.
+    prefetch_depth: int = 0
     data_parallel: bool = True         # shard the cell axis over all chips
     use_native_scanner: bool = True    # C++ mask scanner when built
     chunk_cells: int = 65536           # cells per device dispatch (cap)

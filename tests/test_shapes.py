@@ -45,6 +45,19 @@ def test_bucket_dim_ladder():
         assert bucket_dim(n) == n
 
 
+def test_fast_pad_matches_numpy():
+    """The slice-based pad must equal np.pad symmetric for every pad
+    width, incl. the >= dim fallback boundary."""
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 65535, size=(3, 37, 53)).astype(np.uint16)
+    for hb, wb in [(37, 53), (40, 60), (73, 53), (74, 106), (50, 105),
+                   (37, 106), (120, 200)]:
+        ours = pad_image_chw(img, hb, wb)
+        ref = np.pad(img, ((0, 0), (0, hb - 37), (0, wb - 53)),
+                     mode="symmetric")
+        np.testing.assert_array_equal(ours, ref, err_msg=f"{hb}x{wb}")
+
+
 def test_pad_helpers_modes():
     img = np.arange(2 * 3 * 4, dtype=np.uint16).reshape(2, 3, 4)
     p = pad_image_chw(img, 6, 8)
@@ -138,6 +151,30 @@ def test_pipeline_canonical_no_normalize_bitexact(runner):
     np.testing.assert_array_equal(
         on.panel_probs["immune_base"], off.panel_probs["immune_base"])
     np.testing.assert_array_equal(on.intensity_full, off.intensity_full)
+
+
+def test_staged_image_matches_direct(runner):
+    """Batch mode stages (pad + upload + extents) on the decode thread;
+    a staged run must equal the direct one exactly."""
+    from ribca_tpu.engine.pipeline import StagedImage, stage_image
+
+    mask, _ = make_cells(h=150, w=140, n_cells=9, seed=11)
+    img = make_image(mask, n_channels=7, seed=11)
+    cfg = AnnotatorConfig(normalize=True, blur=0.3, upper_limit=99.8)
+    staged = stage_image(img, mask, cfg, runner.mesh)
+    assert isinstance(staged, StagedImage)
+    a = run_image(staged, None, cfg, runner)
+    b = run_image(img, mask, cfg, runner)
+    np.testing.assert_array_equal(
+        a.panel_probs["immune_base"], b.panel_probs["immune_base"])
+    np.testing.assert_array_equal(a.intensity_full, b.intensity_full)
+    np.testing.assert_array_equal(a.mask, b.mask)
+
+    # over-budget images pass through for the banded pipeline
+    small_budget = AnnotatorConfig(
+        normalize=False, device_image_budget_bytes=8)
+    passthrough = stage_image(img, mask, small_budget, runner.mesh)
+    assert isinstance(passthrough, tuple)
 
 
 def test_cohort_program_reuse(runner):
