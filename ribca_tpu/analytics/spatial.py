@@ -231,6 +231,28 @@ def tissue_region_partition(
         feats = multiscale_composition(
             im["mean_row"], im["mean_col"], type_ids, n_types
         )
+
+        # whole-slide scale + default method: PCA + k-means on the mesh
+        # (ops/cluster.py) — host sklearn is single-core minutes there.
+        # Labels differ from sklearn only by the usual seeding
+        # arbitrariness; partition quality is equivalent (test_cluster).
+        if method == "kmeans":
+            from ribca_tpu.ops.cluster import (
+                DEVICE_CLUSTER_MIN,
+                pca_kmeans_device,
+            )
+
+            if len(feats) >= DEVICE_CLUSTER_MIN:
+                try:
+                    labels = pca_kmeans_device(feats, n_clusters)
+                    out.append({
+                        int(cid): int(lab)
+                        for cid, lab in zip(im["cell_ids"], labels)
+                    })
+                    continue
+                except Exception:  # no devices / OOM: host fallback
+                    pass
+
         if len(feats) > 1:
             pca = PCA(n_components=0.99)
             feats = pca.fit_transform(feats)

@@ -19,6 +19,22 @@ def test_dispatch_ladder():
     assert dispatch_ladder(64, 8) == [64]
 
 
+def test_effective_prefetch_depth():
+    from ribca_tpu.engine.pipeline import effective_prefetch_depth
+    from ribca_tpu.utils.config import AnnotatorConfig
+
+    auto = AnnotatorConfig()          # prefetch_depth 0 = auto
+    # 8192-cell pieces at 7 channels: ~367 MB each -> 5 fit in 2 GB
+    assert effective_prefetch_depth(auto, 8192, 7) == 5
+    # wide panel: bigger pieces, smaller queue (floor 2)
+    assert effective_prefetch_depth(auto, 8192, 40) == 2
+    # tiny pieces cap at 8
+    assert effective_prefetch_depth(auto, 64, 7) == 8
+    # explicit config always wins
+    explicit = AnnotatorConfig(prefetch_depth=3)
+    assert effective_prefetch_depth(explicit, 8192, 7) == 3
+
+
 @pytest.fixture()
 def cfg(tmp_path):
     mf = tmp_path / "markers.txt"
