@@ -64,7 +64,10 @@ def pca_project_device(
     (N_pad, k) device projection (cell-sharded) and k."""
     n, d = feats.shape
     n_dev = mesh.size
-    n_pad = -(-n // n_dev) * n_dev
+    # power-of-two row bucket (mesh multiple): the cov/project/k-means
+    # programs are keyed on it, so varying slide sizes share programs
+    n_pad = max(256, 1 << (max(n, 1) - 1).bit_length())
+    n_pad = -(-n_pad // n_dev) * n_dev
     sh = cell_sharding(mesh)
     x = jax.device_put(_pad_rows(feats.astype(np.float32), n_pad), sh)
     valid = jax.device_put(

@@ -107,7 +107,11 @@ def knn_indices_device(
     q_block = max(q_block - q_block % n_dev, n_dev)
 
     xy = np.ascontiguousarray(coords, dtype=np.float32)
-    np_pad = -(-n // p_chunk) * p_chunk
+    # chunk count rounds up to a power of two: the block program is keyed
+    # on it, so a cohort of varying slide sizes reuses a handful of
+    # programs instead of recompiling per image (<= 2x top_k waste)
+    n_chunks = 1 << (max(-(-n // p_chunk), 1) - 1).bit_length()
+    np_pad = n_chunks * p_chunk
     pts = jax.device_put(
         _pad_to(xy, np_pad, 0.0), replicated_sharding(mesh)
     )
