@@ -47,9 +47,19 @@ def _knn_indices(coords: np.ndarray, k: int) -> np.ndarray:
     if k <= 0:
         return np.zeros((len(coords), 0), dtype=np.int64)
 
-    from ribca_tpu.ops.knn import DEVICE_KNN_MIN, knn_indices_device
+    from ribca_tpu.ops.knn import (
+        DEVICE_KNN_MAX_WORK,
+        DEVICE_KNN_MIN,
+        knn_indices_device,
+    )
 
-    if len(coords) >= DEVICE_KNN_MIN:
+    # brute force is O(N^2) vs the tree's O(N k log N): the device wins
+    # until the quadratic term catches up (measured on v5e: 200k x k=24
+    # device 15 s vs host ~40 s; 200k x k=200 device 116 s vs host 96 s)
+    if (
+        DEVICE_KNN_MIN <= len(coords)
+        and len(coords) * (k + 1) <= DEVICE_KNN_MAX_WORK
+    ):
         try:
             return knn_indices_device(coords, k)
         except Exception:  # no devices / OOM: host fallback

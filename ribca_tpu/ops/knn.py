@@ -34,6 +34,10 @@ from ribca_tpu.parallel.mesh import cell_sharding, get_mesh, replicated_sharding
 # device path pays off beyond this many cells; below it, sklearn's tree
 # on host is faster than a dispatch round-trip
 DEVICE_KNN_MIN = 20000
+# ... and until the O(N^2) top_k merge catches the tree's O(N k log N):
+# N*(k+1) above this, the host tree wins (measured crossover on v5e;
+# a grid-binned spatial hash would remove the quadratic term — ROADMAP)
+DEVICE_KNN_MAX_WORK = 20_000_000
 
 Q_BLOCK = 4096
 P_CHUNK = 16384
