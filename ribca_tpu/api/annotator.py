@@ -34,7 +34,7 @@ from ribca_tpu.analytics import (
 from ribca_tpu.engine.ensemble import EnsembleRunner
 from ribca_tpu.engine.pipeline import run_image
 from ribca_tpu.engine.voting import PanelProbs, merge_by_voting
-from ribca_tpu.io import read_image, read_mask, read_manifest
+from ribca_tpu.io import read_mask, read_manifest
 from ribca_tpu.models.registry import ModelRegistry
 from ribca_tpu.outputs import (
     color_legend,
