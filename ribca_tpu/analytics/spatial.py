@@ -48,10 +48,23 @@ def _knn_indices(coords: np.ndarray, k: int) -> np.ndarray:
         return np.zeros((len(coords), 0), dtype=np.int64)
 
     from ribca_tpu.ops.knn import (
+        BINNED_KNN_MIN,
         DEVICE_KNN_MAX_WORK,
         DEVICE_KNN_MIN,
+        knn_indices_binned,
         knn_indices_device,
     )
+
+    # beyond ~100k cells the O(N k) grid-binned device path wins over
+    # both the brute force and the host tree; it verifies its own
+    # exactness bound and returns None for layouts that defeat the grid
+    if len(coords) >= BINNED_KNN_MIN:
+        try:
+            binned = knn_indices_binned(coords, k)
+            if binned is not None:
+                return binned
+        except Exception:
+            pass
 
     # brute force is O(N^2) vs the tree's O(N k log N): the device wins
     # until the quadratic term catches up (measured on v5e: 200k x k=24

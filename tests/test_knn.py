@@ -70,3 +70,47 @@ def test_spatial_uses_device_at_scale(monkeypatch, rng):
     out = spatial._knn_indices(coords, 6)
     assert calls == [150]
     _sets_equal(out, _oracle(coords, 6))
+
+
+# -- grid-binned path ---------------------------------------------------------
+
+
+def test_binned_matches_sklearn_uniform(rng):
+    from ribca_tpu.ops.knn import knn_indices_binned
+
+    coords = rng.uniform(0, 2000, size=(3000, 2))
+    for k in (5, 24):
+        ours = knn_indices_binned(coords, k, q_block=512)
+        assert ours is not None
+        _sets_equal(ours, _oracle(coords, k))
+
+
+def test_binned_sparse_regions_patched(rng):
+    """Outlier points whose kth neighbor is far away fail the window
+    bound and must be patched by the host tree — still exact."""
+    from ribca_tpu.ops.knn import knn_indices_binned
+
+    dense = rng.uniform(0, 100, size=(1500, 2))
+    outliers = rng.uniform(4000, 5000, size=(8, 2))
+    coords = np.concatenate([dense, outliers])
+    ours = knn_indices_binned(coords, 10, q_block=256)
+    assert ours is not None
+    _sets_equal(ours, _oracle(coords, 10))
+
+
+def test_binned_rejects_clumped(rng):
+    """All points in one spot: hot bin defeats the grid -> None."""
+    from ribca_tpu.ops.knn import knn_indices_binned
+
+    coords = np.full((2000, 2), 7.0) + rng.normal(scale=1e-9,
+                                                  size=(2000, 2))
+    assert knn_indices_binned(coords, 10) is None
+
+
+def test_binned_self_excluded(rng):
+    from ribca_tpu.ops.knn import knn_indices_binned
+
+    coords = rng.uniform(0, 300, size=(800, 2))
+    out = knn_indices_binned(coords, 6, q_block=256)
+    for i in range(len(coords)):
+        assert i not in out[i]
