@@ -203,9 +203,27 @@ def multiscale_composition(
     """(N, len(ks)*n_types) neighborhood type-composition features.
 
     One 200-NN query; per-k proportions come from a cumulative sum of the
-    neighbor one-hots sliced at each k (equals spatial_methods.py:154-178)."""
+    neighbor one-hots sliced at each k (equals spatial_methods.py:154-178).
+
+    At device scale the whole feature computation is fused into the kNN
+    program (ops/knn.multiscale_features_device): each query block
+    returns len(ks)*T floats per cell instead of kmax indices, so the
+    host never materializes the (N, kmax, T) one-hot and the tunneled
+    chip transfers ~5x fewer bytes."""
     coords = np.stack([mean_col, mean_row], axis=1)
     kmax = min(max(ks), len(coords) - 1)
+
+    from ribca_tpu.ops.knn import DEVICE_KNN_MIN, multiscale_features_device
+
+    if len(coords) >= DEVICE_KNN_MIN and ks == MULTISCALE_KS:
+        try:
+            fused = multiscale_features_device(
+                coords, type_ids, n_types, ks
+            )
+            if fused is not None:
+                return fused
+        except Exception:  # no devices / OOM: host fallback
+            pass
     idx = _knn_indices(coords, kmax)
     n = len(coords)
     out = np.empty((n, len(ks) * n_types), dtype=np.float32)
@@ -246,7 +264,12 @@ def tissue_region_partition(
 ):
     """Per image: multi-scale composition -> PCA(0.99) -> clustering.
 
-    Returns a list of {cell_id: region_label} dicts (one per image)."""
+    Returns a list of {cell_id: region_label} dicts (one per image).
+
+    An explicit ``seed`` pins the host sklearn path even at device scale:
+    the device k-means is deterministic (maxmin seeding) but ignores the
+    seed, so honoring a seeded request means running the clusterer the
+    seed actually parameterizes."""
     out = []
     for im in images:
         type_ids = np.asarray(im["type_ids"], dtype=np.int64)
@@ -259,7 +282,7 @@ def tissue_region_partition(
         # (ops/cluster.py) — host sklearn is single-core minutes there.
         # Labels differ from sklearn only by the usual seeding
         # arbitrariness; partition quality is equivalent (test_cluster).
-        if method == "kmeans":
+        if method == "kmeans" and seed is None:
             from ribca_tpu.ops.cluster import (
                 DEVICE_CLUSTER_MIN,
                 pca_kmeans_device,

@@ -199,7 +199,8 @@ class Annotator:
             )
         return self._runner
 
-    def warm_cache(self, image_shapes=None) -> int:
+    def warm_cache(self, image_shapes=None,
+                   image_dtypes=("uint16", "float32")) -> int:
         """Pre-compile the pipeline's program ladder (AOT, no execution)
         into the persistent XLA compile cache, so production runs pay
         compile time once per cache lifetime instead of per process
@@ -218,6 +219,10 @@ class Annotator:
         from ribca_tpu.ops.normalize import halo_radius
         from ribca_tpu.ops.patches import extract_patches
         from ribca_tpu.ops.shapes import bucket_dim
+        from ribca_tpu.parallel.mesh import (
+            cell_sharding,
+            replicated_sharding,
+        )
 
         runner = self._ensure_runner()
         cfg = self.config
@@ -226,11 +231,19 @@ class Annotator:
         # the packed pipeline never dispatches beyond the pack size
         ladder = dispatch_ladder(pack_size(cfg, n_dev), n_dev)
         params, imp = runner._params_on_device()
+        # lower from shardings matching the runtime inputs (cell-sharded
+        # patches, replicated images/masks) so the AOT executables hit the
+        # same compile-cache keys the production calls use on multi-device
+        # meshes
+        cell_sh = cell_sharding(self.mesh)
+        rep_sh = replicated_sharding(self.mesh)
 
         count = 0
         with self.logger.stage("warm.ensemble"):
             for size in ladder:
-                sds = jax.ShapeDtypeStruct((size, c, 40, 40), jnp.float32)
+                sds = jax.ShapeDtypeStruct(
+                    (size, c, 40, 40), jnp.float32, sharding=cell_sh
+                )
                 runner._fn.lower(sds, params, imp).compile()
                 count += 1
 
@@ -252,22 +265,39 @@ class Annotator:
                 )
 
                 for hb, wb in sorted(buckets):
-                    img_sds = jax.ShapeDtypeStruct((c, hb, wb), f32)
-                    if cfg.normalize:
-                        normalize_image_masked.lower(
-                            img_sds, 0, 0,
-                            blur=float(cfg.blur),
-                            amax=float(cfg.upper_limit),
-                        ).compile()
-                    else:
-                        cast_f32_masked.lower(img_sds, 0, 0).compile()
-                    count += 1
-                    mask_sds = jax.ShapeDtypeStruct((hb, wb), i32)
-                    min_sds = jax.ShapeDtypeStruct((c,), f32)
+                    # images upload in their SOURCE dtype (uint16 slides
+                    # are half the wire bytes; pipeline.stage_image), so
+                    # the normalize program is dtype-keyed — warm every
+                    # dtype the cohort may decode to
+                    for dt in image_dtypes:
+                        img_sds = jax.ShapeDtypeStruct(
+                            (c, hb, wb), jnp.dtype(dt), sharding=rep_sh
+                        )
+                        if cfg.normalize:
+                            normalize_image_masked.lower(
+                                img_sds, 0, 0,
+                                blur=float(cfg.blur),
+                                amax=float(cfg.upper_limit),
+                            ).compile()
+                        else:
+                            cast_f32_masked.lower(img_sds, 0, 0).compile()
+                        count += 1
+                    # extract always sees the post-normalize f32 image
+                    imgf_sds = jax.ShapeDtypeStruct(
+                        (c, hb, wb), f32, sharding=rep_sh
+                    )
+                    mask_sds = jax.ShapeDtypeStruct(
+                        (hb, wb), i32, sharding=rep_sh
+                    )
+                    min_sds = jax.ShapeDtypeStruct(
+                        (c,), f32, sharding=rep_sh
+                    )
                     for size in ladder:
-                        cell = jax.ShapeDtypeStruct((size,), i32)
+                        cell = jax.ShapeDtypeStruct(
+                            (size,), i32, sharding=cell_sh
+                        )
                         extract_patches.lower(
-                            img_sds, min_sds, mask_sds,
+                            imgf_sds, min_sds, mask_sds,
                             cell, cell, cell, cell, cell,
                             patch_size=patch, full_h=0, full_w=0,
                         ).compile()
@@ -724,8 +754,11 @@ def _enable_compile_cache(cache_dir: str | None) -> None:
         os.makedirs(path, exist_ok=True)
         if jax.config.jax_compilation_cache_dir is None:
             jax.config.update("jax_compilation_cache_dir", path)
+            # persist EVERYTHING: the ensemble tail programs compile in
+            # ~0.35 s each, so any positive threshold silently exempts
+            # them and fresh processes recompile on every run
             jax.config.update(
-                "jax_persistent_cache_min_compile_time_secs", 1.0
+                "jax_persistent_cache_min_compile_time_secs", 0.0
             )
     except Exception:
         pass

@@ -71,6 +71,25 @@ class _HeadSpec:
     mask_img: Optional[jnp.ndarray]     # (1, 1, Hm, Wm) pixel mask
 
 
+# Structurally identical runners share ONE jitted program object, so a
+# second Annotator in the same process (a batch CLI loop, the GUI running
+# two jobs, bench warm runs) re-traces nothing and recompiles nothing.
+# Key: per-head (panel, gather plan, imputation plan) + dtype + mesh.
+# Everything the traced program closes over is derived deterministically
+# from that key (models from panel+dtype, ids/masks from the plan), so
+# reusing the first-built closure is exact.
+_PROGRAM_CACHE: dict = {}
+_PROGRAM_CACHE_CAP = 64
+
+
+def _mesh_signature(mesh) -> tuple:
+    return (
+        tuple(mesh.axis_names),
+        tuple(mesh.devices.shape),
+        tuple(d.id for d in mesh.devices.flat),
+    )
+
+
 class EnsembleRunner:
     """Compiles and runs the fused ensemble program for one marker parse.
 
@@ -140,8 +159,31 @@ class EnsembleRunner:
         if not self.specs:
             raise ValueError("No classifier heads available to run")
 
-        self._fn = self._build()
+        key = self._program_signature()
+        cached = _PROGRAM_CACHE.get(key)
+        if cached is None:
+            self._fn = self._build()
+            if len(_PROGRAM_CACHE) >= _PROGRAM_CACHE_CAP:
+                _PROGRAM_CACHE.pop(next(iter(_PROGRAM_CACHE)))
+            _PROGRAM_CACHE[key] = (self.forward, self._fn)
+        else:
+            self.forward, self._fn = cached
         self._device_params = None
+
+    def _program_signature(self) -> tuple:
+        spec_sig = tuple(
+            (
+                s.panel,
+                s.gather.gather_idx,
+                s.gather.blank,
+                s.imputer is not None,
+                tuple(np.asarray(s.ids_keep).tolist())
+                if s.ids_keep is not None else None,
+            )
+            for s in self.specs
+        )
+        return (spec_sig, jnp.dtype(self.dtype).name,
+                _mesh_signature(self.mesh))
 
     # -- program ------------------------------------------------------------
 

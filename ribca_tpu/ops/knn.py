@@ -192,20 +192,45 @@ def _binned_block(q_xy, q_ids, q_bin, table, pts_x, pts_y, nbx, nby,
     return idx, rk
 
 
-def knn_indices_binned(
-    coords: np.ndarray,
-    k: int,
-    mesh=None,
-    q_block: int = Q_BLOCK,
-    bin_margin: float = 2.0,
-) -> np.ndarray | None:
-    """Grid-binned exact kNN; returns (N, k) indices, or None when the
-    layout defeats the uniform grid (caller falls back)."""
+class _BinnedSetup:
+    """Host-side grid build + device uploads shared by the index and the
+    fused-feature paths."""
+
+    __slots__ = ("n", "k", "xy", "bin_size", "nbx", "nby", "p",
+                 "qbin_all", "table_dev", "pts_x", "pts_y", "q_block",
+                 "sh")
+
+    def __init__(self, n, k, xy, bin_size, nbx, nby, p, qbin_all,
+                 table_dev, pts_x, pts_y, q_block, sh):
+        self.n, self.k, self.xy = n, k, xy
+        self.bin_size, self.nbx, self.nby, self.p = bin_size, nbx, nby, p
+        self.qbin_all = qbin_all
+        self.table_dev, self.pts_x, self.pts_y = table_dev, pts_x, pts_y
+        self.q_block, self.sh = q_block, sh
+
+    def blocks(self):
+        """Yield (start, qn, q_xy, q_ids, q_bin) device blocks."""
+        n, q_block, sh, xy = self.n, self.q_block, self.sh, self.xy
+        for start in range(0, n, q_block):
+            stop = min(start + q_block, n)
+            qn = stop - start
+            q_xy = jax.device_put(
+                _pad_to(xy[start:stop], q_block, 0.0), sh
+            )
+            ids = np.full(q_block, -1, np.int32)
+            ids[:qn] = np.arange(start, stop, dtype=np.int32)
+            q_ids = jax.device_put(ids, sh)
+            q_bin = jax.device_put(
+                _pad_to(self.qbin_all[start:stop], q_block, 0), sh
+            )
+            yield start, qn, q_xy, q_ids, q_bin
+
+
+def _binned_setup(coords, k, mesh, bin_margin: float,
+                  q_block: int | None = None) -> _BinnedSetup | None:
+    """Build the uniform grid; None when the layout defeats it.
+    ``q_block`` overrides the auto-sized query block (tests)."""
     n = len(coords)
-    k = min(k, n - 1)
-    if k <= 0:
-        return np.zeros((n, 0), dtype=np.int64)
-    mesh = mesh if mesh is not None else get_mesh()
     xy = np.ascontiguousarray(coords, dtype=np.float32)
 
     # robust extents: outliers must not stretch the grid (they clamp to
@@ -246,6 +271,14 @@ def knn_indices_binned(
     rep = replicated_sharding(mesh)
     sh = cell_sharding(mesh)
     n_dev = mesh.size
+    # block size adapts to the candidate width: bigger blocks mean fewer
+    # host<->device round trips (the dominant cost on a tunneled chip —
+    # 49 dispatches at 200k cells cost more wall time than the compute),
+    # bounded so the block's (Q, 9p) score/index buffers stay ~<1.5 GB
+    if q_block is None:
+        q_block = int(
+            min(4 * Q_BLOCK, max(Q_BLOCK, (96 << 20) // (9 * p)))
+        )
     q_block = max(q_block - q_block % n_dev, n_dev)
     table_dev = jax.device_put(table, rep)
     n_pad_pts = _next_pow2(max(n, 2))
@@ -255,24 +288,62 @@ def knn_indices_binned(
     pts_y = jax.device_put(
         _pad_to(np.ascontiguousarray(xy[:, 1]), n_pad_pts, 0.0), rep
     )
+    return _BinnedSetup(n, k, xy, bin_size, nbx, nby, p,
+                        np.stack([bx, by], axis=1), table_dev,
+                        pts_x, pts_y, q_block, sh)
+
+
+def _host_patch_indices(xy, k, failed):
+    """Exact host-tree answers for the queries that failed the bound."""
+    from sklearn.neighbors import NearestNeighbors
+
+    nbrs = NearestNeighbors(n_neighbors=k + 1).fit(xy)
+    return nbrs.kneighbors(xy[failed])[1][:, 1:]
+
+
+# First-attempt bin margin: ~0.6*k points per bin makes the 3x3 window
+# ~5.4k candidates — enough that (uniformly distributed) queries pass the
+# exactness bound with <1% host-patched stragglers, and the top_k/gather
+# width is 4x narrower than the conservative 2.0 (measured on v5e at
+# 200k x k=200: 9.8 s vs 35.6 s warm). When the grid mis-sizes for the
+# layout (hot bins, >5% bound failures) the caller escalates to 2.0.
+BIN_MARGINS = (0.6, 2.0)
+
+
+def knn_indices_binned(
+    coords: np.ndarray,
+    k: int,
+    mesh=None,
+    q_block: int = Q_BLOCK,
+    bin_margin: float | None = None,
+) -> np.ndarray | None:
+    """Grid-binned exact kNN; returns (N, k) indices, or None when the
+    layout defeats the uniform grid (caller falls back). With the
+    default ``bin_margin=None`` the margin ladder ``BIN_MARGINS`` is
+    tried in order."""
+    if bin_margin is None:
+        for m in BIN_MARGINS:
+            out = knn_indices_binned(coords, k, mesh, q_block, m)
+            if out is not None:
+                return out
+        return None
+    n = len(coords)
+    k = min(k, n - 1)
+    if k <= 0:
+        return np.zeros((n, 0), dtype=np.int64)
+    mesh = mesh if mesh is not None else get_mesh()
+    su = _binned_setup(coords, k, mesh, bin_margin,
+                       q_block if q_block != Q_BLOCK else None)
+    if su is None:
+        return None
 
     out = np.empty((n, k + 1), np.int32)
     rks = np.empty(n, np.float32)
     pending = []
-    qbin_all = np.stack([bx, by], axis=1)
-    for start in range(0, n, q_block):
-        stop = min(start + q_block, n)
-        qn = stop - start
-        q_xy = jax.device_put(_pad_to(xy[start:stop], q_block, 0.0), sh)
-        ids = np.full(q_block, -1, np.int32)
-        ids[:qn] = np.arange(start, stop, dtype=np.int32)
-        q_ids = jax.device_put(ids, sh)
-        q_bin = jax.device_put(
-            _pad_to(qbin_all[start:stop], q_block, 0), sh
-        )
+    for start, qn, q_xy, q_ids, q_bin in su.blocks():
         idx, rk = _binned_block(
-            q_xy, q_ids, q_bin, table_dev, pts_x, pts_y,
-            jnp.int32(nbx), jnp.int32(nby), k, p,
+            q_xy, q_ids, q_bin, su.table_dev, su.pts_x, su.pts_y,
+            jnp.int32(su.nbx), jnp.int32(su.nby), k, su.p,
         )
         pending.append((start, qn, idx, rk))
         if len(pending) > 2:
@@ -288,13 +359,164 @@ def knn_indices_binned(
     # exactness bound: if the kth candidate lies within one bin size,
     # every true neighbor is inside the 3x3 window; sparse-region
     # queries that fail go to the host tree
-    failed = np.nonzero(~(rks <= bin_size * bin_size))[0]
+    failed = np.nonzero(~(rks <= su.bin_size * su.bin_size))[0]
     if len(failed):
         if len(failed) > max(n // 20, 1024):  # grid mis-sized for layout
             return None
-        from sklearn.neighbors import NearestNeighbors
-
-        nbrs = NearestNeighbors(n_neighbors=k + 1).fit(xy)
-        patch = nbrs.kneighbors(xy[failed])[1][:, 1:]
-        result[failed] = patch
+        result[failed] = _host_patch_indices(su.xy, k, failed)
     return result
+
+
+# -- fused multi-scale composition features ------------------------------------
+
+# The tissue-region partition consumes neighborhood type-composition
+# FEATURES, not raw neighbor indices (spatial_methods.py:154-178). Fusing
+# the one-hot cumulative composition into the kNN program means each
+# query block returns len(ks)*T floats per cell instead of k+1 indices —
+# ~5x less wire traffic on a tunneled chip — and the host never builds
+# the (N, k, T) one-hot tensor at all.
+
+
+def _ms_feats_from_idx(idx, types_pad, ks: tuple, n_types: int):
+    """(Q, k) neighbor indices (-1 = none) -> (Q, len(ks)*T) composition
+    features, cumulative-one-hot semantics identical to the host path
+    (analytics/spatial.multiscale_composition)."""
+    nb = jnp.take(types_pad, jnp.maximum(idx, 0), axis=0)
+    valid = (idx >= 0).astype(jnp.float32)
+    onehot = jax.nn.one_hot(nb, n_types, dtype=jnp.float32)
+    onehot = onehot * valid[..., None]
+    cum = jnp.cumsum(onehot, axis=1)                    # (Q, k, T)
+    ks_idx = jnp.asarray([kk - 1 for kk in ks], jnp.int32)
+    counts = jnp.take(cum, ks_idx, axis=1)              # (Q, nks, T)
+    tot = jnp.sum(counts, axis=-1, keepdims=True)
+    feats = jnp.where(tot > 0, counts / jnp.maximum(tot, 1e-30), 0.0)
+    return feats.reshape(idx.shape[0], len(ks) * n_types)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "p", "ks", "n_types")
+)
+def _binned_feats_block(q_xy, q_ids, q_bin, table, pts_x, pts_y, nbx,
+                        nby, types_pad, k: int, p: int, ks: tuple,
+                        n_types: int):
+    idx, rk = _binned_block(q_xy, q_ids, q_bin, table, pts_x, pts_y,
+                            nbx, nby, k, p)
+    return _ms_feats_from_idx(idx[:, 1:], types_pad, ks, n_types), rk
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "p_chunk", "ks", "n_types")
+)
+def _brute_feats_block(q_xy, q_ids, pts, n_valid, types_pad, k: int,
+                       p_chunk: int, ks: tuple, n_types: int):
+    idx = _knn_block(q_xy, q_ids, pts, n_valid, k, p_chunk)
+    return _ms_feats_from_idx(idx[:, 1:], types_pad, ks, n_types)
+
+
+def _host_feats_rows(xy, type_ids, n_types, k, ks, rows):
+    """Host-exact composition features for a subset of queries (the
+    bound-failed rows of the binned path)."""
+    idx = _host_patch_indices(xy, k, rows)
+    nb = type_ids[idx]                                   # (m, k)
+    onehot = np.zeros((len(rows), k, n_types), np.float32)
+    m_rows = np.repeat(np.arange(len(rows)), k)
+    m_cols = np.tile(np.arange(k), len(rows))
+    onehot[m_rows, m_cols, nb.reshape(-1)] = 1.0
+    cum = np.cumsum(onehot, axis=1)
+    feats = []
+    for kk in ks:
+        counts = cum[:, kk - 1]
+        tot = counts.sum(axis=1, keepdims=True)
+        feats.append(np.divide(counts, tot, out=np.zeros_like(counts),
+                               where=tot > 0))
+    return np.concatenate(feats, axis=1)
+
+
+def multiscale_features_device(
+    coords: np.ndarray,
+    type_ids: np.ndarray,
+    n_types: int,
+    ks,
+    mesh=None,
+) -> np.ndarray | None:
+    """(N, len(ks)*n_types) multi-scale neighborhood composition features
+    computed end-to-end on device; None when no device strategy applies
+    (caller falls back to the host path)."""
+    n = len(coords)
+    kmax = min(max(ks), n - 1)
+    if kmax <= 0 or n < DEVICE_KNN_MIN:
+        return None
+    ks_c = tuple(min(int(kk), kmax) for kk in ks)
+    mesh = mesh if mesh is not None else get_mesh()
+    rep = replicated_sharding(mesh)
+    types_pad = jax.device_put(
+        _pad_to(np.ascontiguousarray(type_ids, dtype=np.int32),
+                _next_pow2(max(n, 2)), 0),
+        rep,
+    )
+    nf = len(ks_c) * n_types
+    out = np.empty((n, nf), np.float32)
+
+    if n >= BINNED_KNN_MIN:
+        for bin_margin in BIN_MARGINS:
+            su = _binned_setup(coords, kmax, mesh, bin_margin)
+            if su is None:
+                continue
+            rks = np.empty(n, np.float32)
+            pending = []
+            for start, qn, q_xy, q_ids, q_bin in su.blocks():
+                feats, rk = _binned_feats_block(
+                    q_xy, q_ids, q_bin, su.table_dev, su.pts_x,
+                    su.pts_y, jnp.int32(su.nbx), jnp.int32(su.nby),
+                    types_pad, kmax, su.p, ks_c, n_types,
+                )
+                pending.append((start, qn, feats, rk))
+                if len(pending) > 2:
+                    s, m, f, r = pending.pop(0)
+                    out[s : s + m] = np.asarray(f)[:m]
+                    rks[s : s + m] = np.asarray(r)[:m]
+            for s, m, f, r in pending:
+                out[s : s + m] = np.asarray(f)[:m]
+                rks[s : s + m] = np.asarray(r)[:m]
+            failed = np.nonzero(
+                ~(rks <= su.bin_size * su.bin_size)
+            )[0]
+            if len(failed) <= max(n // 20, 1024):
+                if len(failed):
+                    out[failed] = _host_feats_rows(
+                        su.xy, np.asarray(type_ids, np.int64), n_types,
+                        kmax, ks_c, failed,
+                    )
+                return out
+            # grid mis-sized: escalate margin, else brute if affordable
+
+    if n * (kmax + 1) > DEVICE_KNN_MAX_WORK:
+        return None
+
+    # brute-force candidates (exact by construction, no patching)
+    n_dev = mesh.size
+    q_block = max(2 * Q_BLOCK - (2 * Q_BLOCK) % n_dev, n_dev)
+    xy = np.ascontiguousarray(coords, dtype=np.float32)
+    n_chunks = 1 << (max(-(-n // P_CHUNK), 1) - 1).bit_length()
+    pts = jax.device_put(_pad_to(xy, n_chunks * P_CHUNK, 0.0), rep)
+    n_valid = jnp.int32(n)
+    sh = cell_sharding(mesh)
+    pending = []
+    for start in range(0, n, q_block):
+        stop = min(start + q_block, n)
+        qn = stop - start
+        q_xy = jax.device_put(_pad_to(xy[start:stop], q_block, 0.0), sh)
+        ids = np.full(q_block, -1, np.int32)
+        ids[:qn] = np.arange(start, stop, dtype=np.int32)
+        q_ids = jax.device_put(ids, sh)
+        feats = _brute_feats_block(
+            q_xy, q_ids, pts, n_valid, types_pad, kmax, P_CHUNK, ks_c,
+            n_types,
+        )
+        pending.append((start, qn, feats))
+        if len(pending) > 2:
+            s, m, f = pending.pop(0)
+            out[s : s + m] = np.asarray(f)[:m]
+    for s, m, f in pending:
+        out[s : s + m] = np.asarray(f)[:m]
+    return out

@@ -114,3 +114,81 @@ def test_binned_self_excluded(rng):
     out = knn_indices_binned(coords, 6, q_block=256)
     for i in range(len(coords)):
         assert i not in out[i]
+
+
+# -- fused multiscale features ------------------------------------------------
+
+
+def _feats_oracle(coords, types, n_types, ks):
+    kmax = min(max(ks), len(coords) - 1)
+    idx = _oracle(coords, kmax)
+    nb = types[idx]
+    onehot = np.zeros((len(coords), kmax, n_types), np.float32)
+    rows = np.repeat(np.arange(len(coords)), kmax)
+    cols = np.tile(np.arange(kmax), len(coords))
+    onehot[rows, cols, nb.reshape(-1)] = 1.0
+    cum = np.cumsum(onehot, axis=1)
+    feats = []
+    for k in ks:
+        counts = cum[:, min(k, kmax) - 1]
+        tot = counts.sum(axis=1, keepdims=True)
+        feats.append(np.divide(counts, tot, out=np.zeros_like(counts),
+                               where=tot > 0))
+    return np.concatenate(feats, axis=1)
+
+
+def test_fused_features_brute(monkeypatch, rng):
+    """Brute-candidate fused features equal the host composition."""
+    from ribca_tpu.ops import knn as knn_mod
+
+    monkeypatch.setattr(knn_mod, "DEVICE_KNN_MIN", 100)
+    coords = rng.uniform(0, 1000, size=(400, 2))
+    types = rng.integers(0, 4, size=400)
+    ks = (3, 5, 10)
+    ours = knn_mod.multiscale_features_device(coords, types, 4, ks)
+    assert ours is not None
+    np.testing.assert_allclose(
+        ours, _feats_oracle(coords, types, 4, ks), atol=1e-5
+    )
+
+
+def test_fused_features_binned(monkeypatch, rng):
+    """Grid-binned fused features equal the host composition (uniform
+    layout, sparse stragglers host-patched)."""
+    from ribca_tpu.ops import knn as knn_mod
+
+    monkeypatch.setattr(knn_mod, "DEVICE_KNN_MIN", 100)
+    monkeypatch.setattr(knn_mod, "BINNED_KNN_MIN", 100)
+    coords = rng.uniform(0, 2000, size=(1500, 2))
+    types = rng.integers(0, 3, size=1500)
+    ks = (5, 10, 24)
+    ours = knn_mod.multiscale_features_device(coords, types, 3, ks)
+    assert ours is not None
+    np.testing.assert_allclose(
+        ours, _feats_oracle(coords, types, 3, ks), atol=1e-5
+    )
+
+
+def test_spatial_multiscale_routes_fused(monkeypatch, rng):
+    """multiscale_composition takes the fused device path at scale and
+    matches its own host path."""
+    from ribca_tpu.analytics import spatial
+    from ribca_tpu.ops import knn as knn_mod
+
+    calls = []
+    real = knn_mod.multiscale_features_device
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(knn_mod, "DEVICE_KNN_MIN", 100)
+    monkeypatch.setattr(knn_mod, "multiscale_features_device", spy)
+    mr = rng.uniform(0, 1000, 300)
+    mc = rng.uniform(0, 1000, 300)
+    types = rng.integers(0, 4, 300)
+    fused = spatial.multiscale_composition(mr, mc, types, 4)
+    assert calls == [1]
+    monkeypatch.setattr(knn_mod, "DEVICE_KNN_MIN", 10**9)
+    host = spatial.multiscale_composition(mr, mc, types, 4)
+    np.testing.assert_allclose(fused, host, atol=1e-5)
