@@ -45,7 +45,16 @@ def find_extra_cell_types(
 
     emb = embed(np.asarray(vectors), n_components=5, seed=seed,
                 logger=logger)
-    labels = HDBSCAN(min_cluster_size=max(int(min_cells), 2)).fit(emb).labels_
+    from ribca_tpu.analytics.spatial import (
+        HDBSCAN_FIT_MAX,
+        fit_predict_bounded,
+    )
+
+    labels = fit_predict_bounded(
+        HDBSCAN(min_cluster_size=max(int(min_cells), 2)), emb,
+        HDBSCAN_FIT_MAX, seed=seed, logger=logger,
+        what="find_extra_cell_types[hdbscan]",
+    )
     for (i, j), lab in zip(where, labels):
         if lab != -1:
             annotations[i][j] = f"Additional type {lab}"

@@ -34,6 +34,50 @@ from sklearn.neighbors import NearestNeighbors
 
 MULTISCALE_KS = (10, 20, 30, 50, 75, 100, 150, 200)
 
+# host-sklearn fit bounds for the clusterers that have no device path:
+# beyond these, fit on a seeded subsample and label the rest by nearest
+# fitted sample (documented, loudly logged). Without the guard a
+# whole-slide run silently hands 10^6 x 150 features to single-core
+# sklearn — HDBSCAN takes minutes-to-hours and SpectralClustering builds
+# an O(N^2) affinity (50k cells ~ 20 GB) before doing any work.
+HDBSCAN_FIT_MAX = 100_000
+SPECTRAL_FIT_MAX = 20_000
+
+
+def fit_predict_bounded(clusterer, feats, fit_max, seed=None, logger=None,
+                        what="clustering"):
+    """``clusterer.fit_predict`` with a bounded host fit: beyond
+    ``fit_max`` samples, fit on a deterministic subsample and assign
+    every remaining point the label of its nearest fitted sample
+    (HDBSCAN/Spectral have no ``predict``; 1-NN assignment is their
+    standard out-of-sample extension). Noise (-1) propagates."""
+    import sys
+
+    n = len(feats)
+    if n <= fit_max:
+        return clusterer.fit_predict(feats)
+    rng = np.random.default_rng(0 if seed is None else seed)
+    sub = np.sort(rng.choice(n, size=fit_max, replace=False))
+    msg = (
+        f"{what}: {n} samples exceed the {fit_max}-sample host fit "
+        "bound; fitting on a seeded subsample and assigning the rest "
+        "by nearest fitted sample"
+    )
+    if logger is not None:
+        logger.log(msg)
+    print(msg, file=sys.stderr)
+    sub_labels = np.asarray(clusterer.fit_predict(feats[sub]))
+    labels = np.empty(n, dtype=sub_labels.dtype)
+    labels[sub] = sub_labels
+    mask = np.ones(n, dtype=bool)
+    mask[sub] = False
+    rest = np.nonzero(mask)[0]
+    if len(rest):
+        nn = NearestNeighbors(n_neighbors=1).fit(feats[sub])
+        nearest = nn.kneighbors(feats[rest])[1][:, 0]
+        labels[rest] = sub_labels[nearest]
+    return labels
+
 
 def _knn_indices(coords: np.ndarray, k: int) -> np.ndarray:
     """Indices of the k nearest neighbors per cell, self excluded
@@ -67,8 +111,10 @@ def _knn_indices(coords: np.ndarray, k: int) -> np.ndarray:
             pass
 
     # brute force is O(N^2) vs the tree's O(N k log N): the device wins
-    # until the quadratic term catches up (measured on v5e: 200k x k=24
-    # device 15 s vs host ~40 s; 200k x k=200 device 116 s vs host 96 s)
+    # until the quadratic term catches up (v5e, warm: 20k x k=200 brute
+    # 1.1-1.6 s vs host tree ~5 s; 200k x k=200 brute loses to the tree,
+    # which is why the grid-binned O(N k) path above takes over at 100k —
+    # binned 200k x k=200 ~10-19 s vs host 73 s, margin ladder 0.6->2.0)
     if (
         DEVICE_KNN_MIN <= len(coords)
         and len(coords) * (k + 1) <= DEVICE_KNN_MAX_WORK
@@ -149,11 +195,14 @@ def neighborhood_analysis(
     normalize: bool = True,
     result_dir: str = ".",
     batch_id: str = "",
+    indices=None,
 ):
     """images: list of dicts with keys mean_row, mean_col, type_ids.
 
     Writes <batch>_integrated_neighborhood.{png,csv} or per-image
-    <batch>_neighborhood_<i>.{png,csv}; returns the matrices."""
+    <batch>_neighborhood_<i>.{png,csv}; returns the matrices.
+    ``indices`` overrides the per-image filename numbering (multi-host
+    runs keep global manifest indices)."""
     t = len(cell_types)
     if integrate:
         mat = np.zeros((t, t), dtype=np.float64)
@@ -176,17 +225,18 @@ def neighborhood_analysis(
 
     mats = []
     for i, im in enumerate(images):
+        tag = indices[i] if indices is not None else i
         mat = neighborhood_matrix(
             im["mean_row"], im["mean_col"], im["type_ids"], t, n_neighbors
         )
         if normalize:
             mat = _row_normalize(mat)
         _plot_matrix(
-            os.path.join(result_dir, f"{batch_id}_neighborhood_{i}.png"),
-            mat, cell_types, f"Neighborhood analysis {i}",
+            os.path.join(result_dir, f"{batch_id}_neighborhood_{tag}.png"),
+            mat, cell_types, f"Neighborhood analysis {tag}",
         )
         _write_matrix_csv(
-            os.path.join(result_dir, f"{batch_id}_neighborhood_{i}.csv"),
+            os.path.join(result_dir, f"{batch_id}_neighborhood_{tag}.csv"),
             mat, cell_types,
         )
         mats.append(mat)
@@ -261,6 +311,7 @@ def tissue_region_partition(
     n_jobs: int = 0,
     method: str = "kmeans",
     seed: int | None = None,
+    logger=None,
 ):
     """Per image: multi-scale composition -> PCA(0.99) -> clustering.
 
@@ -303,6 +354,7 @@ def tissue_region_partition(
             pca = PCA(n_components=0.99)
             feats = pca.fit_transform(feats)
         jobs = n_jobs if n_jobs and n_jobs > 0 else None
+        fit_max = len(feats)
         if method == "kmeans":
             clusterer = KMeans(
                 n_clusters=min(n_clusters, max(len(feats), 1)),
@@ -310,13 +362,18 @@ def tissue_region_partition(
             )
         elif method == "hdbscan":
             clusterer = HDBSCAN(min_cluster_size=max(int(n_clusters), 2))
+            fit_max = HDBSCAN_FIT_MAX
         elif method == "spectral":
             clusterer = SpectralClustering(
                 n_clusters=n_clusters, n_jobs=jobs, random_state=seed
             )
+            fit_max = SPECTRAL_FIT_MAX
         else:
             raise ValueError(f"unknown method {method}")
-        labels = clusterer.fit_predict(feats)
+        labels = fit_predict_bounded(
+            clusterer, feats, fit_max, seed=seed, logger=logger,
+            what=f"tissue_region_partition[{method}]",
+        )
         out.append({
             int(cid): int(lab)
             for cid, lab in zip(im["cell_ids"], labels)

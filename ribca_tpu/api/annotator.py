@@ -66,12 +66,16 @@ class Annotator:
 
         self.main_dir = config.main_dir
         self.batch_id = config.batch_id
-        self.result_dir = os.path.join(self.main_dir, "results")
+        # multi-host batch runs write per-host result dirs: on shared
+        # storage, hosts emitting identically-named annotation_{i}.csv /
+        # log.txt into one results/ would silently overwrite each other
+        result_subdir = "results" + self._host_suffix(config)
+        self.result_dir = os.path.join(self.main_dir, result_subdir)
         self.temp_dir = os.path.join(self.main_dir, "tmp")
         os.makedirs(self.result_dir, exist_ok=True)
         os.makedirs(self.temp_dir, exist_ok=True)
 
-        self.logger = Logger(self.main_dir)
+        self.logger = Logger(self.main_dir, subdir=result_subdir)
         self.logger.log_all_hyperparameters(
             config.loggable_hyperparameters()
         )
@@ -111,6 +115,24 @@ class Annotator:
         self.colors: list = []
         self.tissue_regions: list[dict] | None = None
         self._runner = None
+        # multi-host runs: manifest indices of THIS host's slides, so
+        # per-image output filenames keep their global numbering
+        self._global_indices: list[int] | None = None
+
+    @staticmethod
+    def _host_suffix(config) -> str:
+        """"_host<i>" on multi-host slide-sharded runs, else ""."""
+        try:
+            import jax
+
+            if (
+                jax.process_count() > 1
+                and getattr(config, "multi_host_image_sharding", True)
+            ):
+                return f"_host{jax.process_index()}"
+        except Exception:
+            pass
+        return ""
 
     @staticmethod
     def _default_mesh(config):
@@ -197,6 +219,13 @@ class Annotator:
                 mesh=self.mesh,
                 logger=self.logger,
             )
+            if self.registry.used_random:
+                self.logger.log(
+                    "RANDOM_WEIGHTS: one or more models are randomly "
+                    "initialized — annotations in this run are "
+                    "meaningless."
+                )
+                self.logger.set_flag("random_weights", True)
         return self._runner
 
     def warm_cache(self, image_shapes=None,
@@ -414,9 +443,14 @@ class Annotator:
             pairs = [pairs[i] for i in mine]
             self._image_paths = [p for p, _ in pairs]
             self._mask_paths = [m for _, m in pairs]
+            self._global_indices = [int(i) for i in mine]
             self.logger.log(
                 f"Multi-host batch: host {jax.process_index()}/"
-                f"{jax.process_count()} takes {len(pairs)} image(s)"
+                f"{jax.process_count()} takes {len(pairs)} image(s) "
+                f"(manifest indices {self._global_indices}); results in "
+                f"{self.result_dir}. NOTE: integrated outputs (heatmap, "
+                "neighborhood, umap, composition) cover this host's "
+                "shard only."
             )
 
         self.records = []
@@ -489,6 +523,15 @@ class Annotator:
     def _type_index(self) -> dict:
         return {str(t): i for i, t in enumerate(self.cell_types)}
 
+    def _image_tag(self, i: int) -> int:
+        """Global manifest index for local image ``i`` (multi-host runs
+        keep their per-image output filenames globally numbered)."""
+        if self._global_indices is not None and i < len(
+            self._global_indices
+        ):
+            return self._global_indices[i]
+        return i
+
     def _build_annotations_all(self) -> None:
         tindex = self._type_index()
         self.annotations_all = []
@@ -532,13 +575,18 @@ class Annotator:
                 n_neighbors=n_neighbors, integrate=integrate,
                 normalize=normalize, result_dir=self.result_dir,
                 batch_id=self.batch_id,
+                indices=(
+                    [self._image_tag(i) for i in range(len(self.records))]
+                    if self._global_indices is not None else None
+                ),
             )
 
     def tissue_region_analysis(self, n: int, method: str = "kmeans"):
         self.n_regions = n
         with self.logger.stage("analytics.regions"):
             self.tissue_regions = tissue_region_partition(
-                self._analytics_images(), n, self.n_jobs, method=method
+                self._analytics_images(), n, self.n_jobs, method=method,
+                logger=self.logger,
             )
         return self.tissue_regions
 
@@ -565,7 +613,7 @@ class Annotator:
             for i in range(len(self.annotations)):
                 marker_heatmap(
                     os.path.join(
-                        self.result_dir, f"{self.batch_id}_heatmap_{i}.png"
+                        self.result_dir, f"{self.batch_id}_heatmap_{self._image_tag(i)}.png"
                     ),
                     self.annotations[i], self.intensity_full[i], markers,
                 )
@@ -590,7 +638,7 @@ class Annotator:
     def _export_annotations(self) -> None:
         for i, rec in enumerate(self.records):
             path = os.path.join(
-                self.result_dir, f"{self.batch_id}_annotation_{i}.csv"
+                self.result_dir, f"{self.batch_id}_annotation_{self._image_tag(i)}.csv"
             )
             export_annotations_csv(
                 path, rec.cell_ids, self.annotations[i], self.confidence[i],
@@ -639,14 +687,14 @@ class Annotator:
             )
             rd, bid = self.result_dir, self.batch_id
             Image.fromarray(maps["cell_type_rgb"]).save(
-                os.path.join(rd, f"{bid}_colorized_annotation_{i}.png")
+                os.path.join(rd, f"{bid}_colorized_annotation_{self._image_tag(i)}.png")
             )
             Image.fromarray(maps["confidence_rgb"]).save(
-                os.path.join(rd, f"{bid}_confidence_{i}.png")
+                os.path.join(rd, f"{bid}_confidence_{self._image_tag(i)}.png")
             )
             if "tissue_rgb" in maps:
                 Image.fromarray(maps["tissue_rgb"]).save(
-                    os.path.join(rd, f"{bid}_tissue_region_{i}.png")
+                    os.path.join(rd, f"{bid}_tissue_region_{self._image_tag(i)}.png")
                 )
             if not from_script:
                 os.makedirs(working_dir, exist_ok=True)
@@ -691,7 +739,7 @@ class Annotator:
                 composition_pie(
                     os.path.join(
                         self.result_dir,
-                        f"{self.batch_id}_cell-type_composition_{i}.png",
+                        f"{self.batch_id}_cell-type_composition_{self._image_tag(i)}.png",
                     ),
                     labels, self.cell_types, self.colors, reduction,
                 )

@@ -106,6 +106,12 @@ def parse_args(argv=None) -> argparse.Namespace:
     parser.add_argument("--warm-shapes", type=str, default=None,
                         help="Comma-separated HxW image sizes to warm, "
                              "e.g. 3000x3000,2048x2048 (with --warm-cache)")
+    parser.add_argument("--allow-random-weights", action="store_true",
+                        help="Run with RANDOM weights when checkpoints are "
+                             "missing (annotations meaningless; for shape/"
+                             "flow validation only). Production CLI runs "
+                             "fail fast without this flag — the reference "
+                             "silently skips absent panels, model.py:195")
     group = parser.add_mutually_exclusive_group()
     group.add_argument("--image-path", type=str)
     group.add_argument("--batch-csv", type=str)
@@ -145,6 +151,11 @@ def config_from_args(args: argparse.Namespace) -> AnnotatorConfig:
         cell_size=args.cell_size,
         n_jobs=args.n_jobs,
         cell_type_confidence=cell_type_confidence,
+        # the CLI is the production surface: missing checkpoints fail
+        # fast unless the user explicitly opted into random weights
+        # (library/bench/test callers construct AnnotatorConfig directly
+        # and keep its permissive default)
+        allow_random_weights=args.allow_random_weights,
     )
 
 

@@ -97,6 +97,31 @@ def _pad_rows(arr: np.ndarray, rows: int, mode: str = "constant") -> np.ndarray:
     return np.pad(arr, pad, mode=mode)
 
 
+def _pad_cols(arr: np.ndarray, cols: int, mode: str = "symmetric") -> np.ndarray:
+    """Pad the column axis (axis -1) to ``cols`` — the width half of the
+    canonical-shape mechanism (ops/shapes.py): symmetric pad >= the
+    Gaussian radius keeps the valid region's blur bit-identical; masks
+    zero-pad. Band programs are then keyed on the bucketed width, so a
+    whole-slide cohort with heterogeneous scanner geometry shares one
+    program set instead of compiling per slide width."""
+    have = arr.shape[-1]
+    if have == cols:
+        return arr
+    pad = [(0, 0)] * arr.ndim
+    pad[-1] = (0, cols - have)
+    return np.pad(arr, pad, mode=mode)
+
+
+def band_width(w: int, config) -> int:
+    """Canonical (bucketed) band width for a slide of true width ``w``."""
+    if not getattr(config, "canonical_shapes", True):
+        return int(w)
+    from ribca_tpu.ops.shapes import bucket_dim
+
+    pad_min = halo_radius(config.blur) if config.normalize else 0
+    return bucket_dim(w, pad_min)
+
+
 def _channel_hi(image) -> np.ndarray:
     """Per-channel histogram upper range. Integer images use the dtype
     ceiling (streaming readers never materialize, and bg-subtraction only
@@ -122,8 +147,12 @@ def _channel_hi(image) -> np.ndarray:
 
 def compute_global_norm_stats(image, config, band_rows: int):
     """Pass A: per-channel (thresh, denom, min, has_signal) for the
-    banded normalization."""
+    banded normalization. Bands run at the canonical (bucketed) width:
+    symmetric column pads are duplicates of real pixels (max/min/has-
+    signal unaffected) and the histogram masks them out, so statistics
+    equal the true-width run while all slides share one program set."""
     c, h, w = image.shape
+    wb = band_width(w, config)
     halo = halo_radius(config.blur)
     hi = _channel_hi(image)
     hi_dev = jnp.asarray(hi, jnp.float32)
@@ -148,10 +177,14 @@ def compute_global_norm_stats(image, config, band_rows: int):
         lo = max(s - halo, 0)
         # upload in the source dtype (half the tunnel bytes of f32);
         # band_prenorm casts on device
-        band = _pad_rows(raw, in_rows, mode="symmetric")
+        band = _pad_cols(_pad_rows(raw, in_rows, mode="symmetric"), wb)
         pre = band_prenorm(jnp.asarray(band), blur=float(config.blur))
-        interior = pre[:, s - lo : s - lo + (e - s)]
-        hist, bmax, bpos = band_stats(interior, hi_dev, bins=bins)
+        # fixed-length interior slice (pad rows of the short bottom band
+        # are symmetric duplicates, masked out of the histogram) — the
+        # tail band reuses the SAME compiled stats program
+        interior = pre[:, s - lo : s - lo + band_rows]
+        hist, bmax, bpos = band_stats(interior, hi_dev, bins=bins,
+                                      valid_w=w, valid_rows=e - s)
         bmin = jnp.min(interior, axis=(1, 2))
         hists += np.asarray(hist, np.int64)
         gmax = np.maximum(gmax, np.asarray(bmax, np.float64))
@@ -195,6 +228,7 @@ def prenorm_cached(image, config, band_rows: int):
     is the prenormed (C, rows_b, W) interior of band b, device-resident.
     """
     c, h, w = image.shape
+    wb = band_width(w, config)
     halo = halo_radius(config.blur)
     in_rows = band_rows + 2 * halo
     starts = _band_starts(h, band_rows)
@@ -224,7 +258,8 @@ def prenorm_cached(image, config, band_rows: int):
         bands[i] = pre[:, halo : halo + (e - s)]
 
     for i, decoded in enumerate(_prefetch_spans(image, spans)):
-        raw[i] = jnp.asarray(decoded)  # source dtype upload
+        # canonical width: pad columns on host (symmetric), upload once
+        raw[i] = jnp.asarray(_pad_cols(np.asarray(decoded), wb))
         if i >= 1:
             prenorm_one(i - 1)
             if i >= 2:
@@ -233,13 +268,25 @@ def prenorm_cached(image, config, band_rows: int):
         prenorm_one(n_b - 1)
 
     amax = float(config.upper_limit)
+    # canonical stats shape: pad the concatenated channel's rows with NaN
+    # up to a bucket so the (expensive) per-channel sort program is keyed
+    # on the bucket, not the exact slide height
+    if getattr(config, "canonical_shapes", True):
+        from ribca_tpu.ops.shapes import bucket_dim
+
+        hb = bucket_dim(h, 0)
+    else:
+        hb = h
     stats = []
     for i in range(c):  # per channel: sort workspace stays one channel
         ch = (
             jnp.concatenate([b[i] for b in bands], axis=0)
             if len(bands) > 1 else bands[0][i]
         )
-        stats.append(stats_from_pre_channel(ch, amax))
+        if hb != h:
+            ch = jnp.pad(ch, ((0, hb - h), (0, 0)),
+                         constant_values=jnp.nan)
+        stats.append(stats_from_pre_channel(ch, amax, valid_w=w))
     thresh, denom, scaled_min, has_signal = (
         jnp.stack([s[k] for s in stats]) for k in range(4)
     )
@@ -282,6 +329,7 @@ def run_image_tiled(
     if not hasattr(image, "read_band"):  # streaming readers pass through
         image = np.asarray(image)
     c, h, w = image.shape
+    wb = band_width(w, config)  # canonical width: one program set/cohort
 
     mesh = runner.mesh
     n_dev = mesh.size
@@ -292,12 +340,13 @@ def run_image_tiled(
     auto_rows = band_rows is None
     if auto_rows:
         budget = getattr(config, "device_image_budget_bytes", 1 << 31)
-        band_rows = max(int(budget / (c * w * 4 * 4)), 4 * patch_size)
+        band_rows = max(int(budget / (c * wb * 4 * 4)), 4 * patch_size)
     band_rows = min(band_rows, h)
 
     # single-upload cache mode: slide's f32 prenorm fits in HBM
+    # (budgeted at the padded width actually cached)
     use_cache = bool(config.normalize) and (
-        c * h * w * 4
+        c * h * wb * 4
         <= getattr(config, "device_prenorm_cache_bytes", 4 << 30)
     )
     pre_bands = None
@@ -309,6 +358,13 @@ def run_image_tiled(
             band_rows,
             max(-(-h // 8), halo_radius(config.blur), 4 * patch_size),
         )
+    if auto_rows and getattr(config, "canonical_shapes", True):
+        # snap auto-sized bands DOWN to a power-of-two ladder: band
+        # programs are keyed on (band_rows, wb), so heterogeneous slide
+        # heights collapse onto a handful of programs (any band_rows is
+        # exact; the short bottom band is masked, never recompiled)
+        if band_rows >= 512:
+            band_rows = 1 << (band_rows.bit_length() - 1)
     if use_cache:
         pre_bands, thresh, denom, scaled_min, has_signal = prenorm_cached(
             image, config, band_rows
@@ -409,7 +465,9 @@ def run_image_tiled(
             raw = next(raw_iter)
             pre = band_prenorm(
                 jax.device_put(
-                    jnp.asarray(_pad_rows(raw, in_rows, mode="symmetric")),
+                    jnp.asarray(_pad_cols(
+                        _pad_rows(raw, in_rows, mode="symmetric"), wb
+                    )),
                     rep,
                 ),
                 blur=float(config.blur),
@@ -421,12 +479,15 @@ def run_image_tiled(
             )
         else:
             raw = next(raw_iter)
-            band_img = jnp.asarray(
-                _pad_rows(raw[:, s - lo :], ext_rows, mode="symmetric")
-            ).astype(jnp.float32)
+            band_img = jnp.asarray(_pad_cols(
+                _pad_rows(raw[:, s - lo :], ext_rows, mode="symmetric"), wb
+            )).astype(jnp.float32)
         band_zero = band_img - min_val[:, None, None]
 
-        mask_band = _pad_rows(mask[s : e + patch_size], ext_rows)
+        mask_band = _pad_cols(
+            _pad_rows(mask[s : e + patch_size], ext_rows), wb,
+            mode="constant",
+        )
         mask_dev = jax.device_put(mask_band, rep)
 
         sel_idx = np.nonzero(band_of == b)[0]

@@ -49,6 +49,10 @@ class ModelRegistry:
         self.logger = logger
         self.allow_random = allow_random
         self._cache: dict[str, dict] = {}
+        # set when any component fell back to random init; surfaced as a
+        # RANDOM_WEIGHTS marker in log.txt and trace.json so such runs
+        # cannot be mistaken for real ones after the fact
+        self.used_random = False
 
     def _log(self, msg: str) -> None:
         if self.logger is not None:
@@ -66,6 +70,7 @@ class ModelRegistry:
             "meaningless. Run ribca_tpu.models.download or set "
             "allow_random_weights=False to make this fatal."
         )
+        self.used_random = True
         self._log(msg)
         print(msg, file=sys.stderr)
 

@@ -13,10 +13,22 @@ Measured result on v5e (B=4096, chained-loop methodology, bench.py):
   so the (batch, head) dims unroll into 96+ tiny 2-D matmuls that cannot
   amortize the MXU pipeline the way XLA's batched-matmul machinery does)
 
-i.e. XLA WINS at these shapes, and simply keeping the softmax in bf16
-(models/vit.py Attention) gets 4.4/8.2 ms per layer — the production
-path. The kernel is retained as working, tested Pallas infrastructure
-and as the measured record of why it is not the default.
+i.e. XLA WINS at these shapes. (A bf16 softmax also looked faster on
+ISOLATED layers — 4.4/8.2 ms — but measured ~8% SLOWER inside the full
+model, so the production path is plain XLA composition with an f32
+softmax; see models/vit.py Attention for those numbers.) The kernel is
+retained as working, tested Pallas infrastructure and as the measured
+record of why it is not the default.
+
+Round-3 closure (v5e, chunk 8192, real jax.profiler trace over axon):
+the ensemble plateau (~3.45k cells/s, 22% MXU) is INHERENT to these
+shapes. Per-head: vit-l 6,533 / vit-s 13,330 / vit-tiny 19,061 cells/s
+alone; serial-sum equals the fused ensemble. The tiny head's profile is
+matmul fusions 40%, LayerNorm convert+reduce 28%, transpose copies 18%,
+softmax reduces 10% — bandwidth/VPU-bound, and ALL measured variants
+were neutral: bf16 attention logits+softmax, einsum attention (no
+explicit transposes), this Pallas kernel, and (by batch-invariance
+arithmetic) padded/stacked head packing. See ROADMAP.md round-3 notes.
 """
 
 from __future__ import annotations

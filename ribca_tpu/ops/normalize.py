@@ -163,16 +163,32 @@ def band_prenorm(band: jnp.ndarray, blur: float = 0.0):
 
 
 @functools.partial(jax.jit, static_argnames=("bins",))
-def band_stats(pre: jnp.ndarray, hi: jnp.ndarray, bins: int = HIST_BINS):
+def band_stats(pre: jnp.ndarray, hi: jnp.ndarray, bins: int = HIST_BINS,
+               valid_w=None, valid_rows=None):
     """Per-channel (histogram, max, count>0) of a pre-clip band.
 
     ``hi`` is a per-channel upper range (the raw per-channel max is a safe
-    bound since bg-subtraction only lowers values)."""
+    bound since bg-subtraction only lowers values). ``valid_w`` /
+    ``valid_rows`` (traced) exclude canonical-shape pad columns / tail
+    pad rows from the histogram — symmetric pads are DUPLICATES of real
+    pixels, so max and has-signal stay correct but counts would inflate
+    and shift the percentile. Masking them keeps every band (including
+    the short bottom band) on ONE compiled program."""
+    if valid_w is None:
+        valid_w = pre.shape[-1]
+    if valid_rows is None:
+        valid_rows = pre.shape[-2]
+    valid2d = (
+        (jnp.arange(pre.shape[-2])[:, None] < valid_rows)
+        & (jnp.arange(pre.shape[-1])[None, :] < valid_w)
+    ).astype(jnp.int32)
 
     def one(ch, h):
         scaled = jnp.clip(ch / jnp.maximum(h, 1e-30) * bins, 0, bins - 1)
         idx = scaled.astype(jnp.int32).reshape(-1)
-        hist = jnp.zeros((bins,), jnp.int32).at[idx].add(1)
+        hist = jnp.zeros((bins,), jnp.int32).at[idx].add(
+            valid2d.reshape(-1)
+        )
         return hist, jnp.max(ch), jnp.sum(ch > 0)
 
     return jax.vmap(one)(pre, hi)
@@ -194,20 +210,26 @@ def percentile_from_hist(hist: np.ndarray, hi: float, q: float,
 
 
 @functools.partial(jax.jit, static_argnames=("amax",))
-def stats_from_pre_channel(ch: jnp.ndarray, amax: float):
+def stats_from_pre_channel(ch: jnp.ndarray, amax: float, valid_w=None):
     """EXACT normalization scalars (thresh, denom, scaled_min, has_signal)
     for one prenormed channel — the same nanpercentile/max math as
     ``_normalize_channel`` steps 3-5, so a banded run whose prenormed
     pixels are device-resident reproduces the single-shot path bit-for-bit
     (no histogram approximation). Called per channel (Python loop) so the
-    sort workspace never exceeds one channel."""
+    sort workspace never exceeds one channel. ``valid_w`` (traced) masks
+    width-canonicalization pad columns to NaN — the nanpercentile
+    squash-NaN path then sorts exactly the true pixels, the identical
+    mechanism normalize_image_masked uses."""
+    if valid_w is not None:
+        col = jnp.arange(ch.shape[-1]) < valid_w
+        ch = jnp.where(col[None, :], ch, jnp.nan)
     has_signal = jnp.any(ch > 0)
     thresh = jnp.nanpercentile(ch, amax)
     clipped = jnp.where(thresh > PCT_GUARD, jnp.clip(ch, 0.0, thresh), ch)
-    denom = jnp.maximum(SCALE_FLOOR, jnp.max(clipped))
+    denom = jnp.maximum(SCALE_FLOOR, jnp.nanmax(clipped))
     # min of the scaled channel: scaling is monotone, so it is attained at
     # the prenorm minimum and computed with the identical f32 expression
-    gmin = jnp.min(ch)
+    gmin = jnp.nanmin(ch)
     scaled_min = jnp.where(
         has_signal, 2.0 * (gmin / denom) - 1.0, jnp.float32(-1.0)
     )

@@ -94,9 +94,10 @@ class AnnotatorConfig:
     allow_random_weights: bool = True
     # multi-host batch runs (jax.distributed initialized): partition the
     # manifest's slides across hosts round-robin, each host annotating
-    # its subset on its LOCAL chips (no cross-host collectives; results
-    # land in per-host result dirs). False replicates all slides on
-    # every host.
+    # its subset on its LOCAL chips (no cross-host collectives). Each
+    # host writes results_host<i>/ with globally-numbered per-image
+    # files; integrated outputs cover that host's shard only (logged).
+    # False replicates all slides on every host.
     multi_host_image_sharding: bool = True
 
     def __post_init__(self):

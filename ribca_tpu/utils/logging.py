@@ -41,14 +41,19 @@ def _ensure_compile_listener() -> None:
 class Logger:
     """Plain-text run log, same file layout as the reference logger."""
 
-    def __init__(self, main_dir: str):
-        os.makedirs(os.path.join(main_dir, "results"), exist_ok=True)
-        self.log_file_path = os.path.join(main_dir, "results", "log.txt")
+    def __init__(self, main_dir: str, subdir: str = "results"):
+        os.makedirs(os.path.join(main_dir, subdir), exist_ok=True)
+        self.log_file_path = os.path.join(main_dir, subdir, "log.txt")
         self.log_file = open(self.log_file_path, "w")
         self.log_file.write("Log file created at {}\n".format(time.ctime()))
         self._timings: dict[str, float] = {}
+        self._flags: dict[str, object] = {}
         _ensure_compile_listener()
         self._compiles0 = dict(_COMPILES)
+
+    def set_flag(self, name: str, value) -> None:
+        """Run-level marker surfaced in trace.json (e.g. random_weights)."""
+        self._flags[name] = value
 
     def log(self, message: str) -> None:
         self.log_file.write(message + "\n")
@@ -89,7 +94,10 @@ class Logger:
     def write_trace_summary(self) -> None:
         path = os.path.join(os.path.dirname(self.log_file_path), "trace.json")
         with open(path, "w") as f:
-            json.dump({**self._timings, **self.compile_stats}, f, indent=2)
+            json.dump(
+                {**self._timings, **self.compile_stats, **self._flags},
+                f, indent=2,
+            )
 
     def close(self) -> None:
         self.log_file.close()

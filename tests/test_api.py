@@ -158,7 +158,7 @@ def test_cli_single_image(workdir, fixture_paths):
     img_path, mask_path, marker_file = fixture_paths
     main_dir = workdir / "climain"
     main_dir.mkdir()
-    intensity_dict, names = main([
+    argv = [
         "--marker-list-path", marker_file,
         "--image-path", img_path,
         "--mask-path", mask_path,
@@ -167,9 +167,20 @@ def test_cli_single_image(workdir, fixture_paths):
         "--batch-id", "cli",
         "--n-regions", "0",
         "--bs", "64",
-    ])
+    ]
+    # production CLI fails fast when checkpoints are missing unless the
+    # user explicitly opts into random weights (VERDICT r2 #7)
+    with pytest.raises(ValueError, match="No classifier heads"):
+        main(argv)
+    intensity_dict, names = main(argv + ["--allow-random-weights"])
     assert set(intensity_dict) == set(range(0, N_CELLS + 1))
     assert (main_dir / "results" / "cli_annotation_0.csv").exists()
+    # random-weight runs are marked in both log.txt and trace.json
+    import json as _json
+
+    assert "RANDOM_WEIGHTS" in (main_dir / "results" / "log.txt").read_text()
+    trace = _json.loads((main_dir / "results" / "trace.json").read_text())
+    assert trace.get("random_weights") is True
 
 
 def test_min_cells_triggers_discovery(workdir, fixture_paths):

@@ -130,6 +130,75 @@ def test_tiled_cache_mode_bit_exact(runner, fixture):
     )
 
 
+def test_tiled_canonical_width_cache_mode_exact(runner, fixture):
+    """Width-canonicalized banded cache mode (default config) matches the
+    non-canonical single-shot run: symmetric column pads + masked stats
+    (VERDICT r2 missing #5 / ROADMAP 6c)."""
+    img, mask = fixture
+    whole = run_image(
+        img, mask,
+        AnnotatorConfig(normalize=True, blur=0.3, upper_limit=99.8,
+                        canonical_shapes=False),
+        runner,
+    )
+    cfg = AnnotatorConfig(normalize=True, blur=0.3, upper_limit=99.8)
+    tiled = run_image_tiled(img, mask, cfg, runner, band_rows=160)
+    np.testing.assert_array_equal(whole.cell_ids, tiled.cell_ids)
+    np.testing.assert_allclose(
+        whole.panel_probs["immune_base"], tiled.panel_probs["immune_base"],
+        atol=1e-6, rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        whole.intensity_full, tiled.intensity_full, atol=1e-6
+    )
+
+
+def test_tiled_canonical_width_histogram_mode(runner, fixture):
+    """Two-pass histogram flow with canonical width: masked histogram
+    keeps the percentile exact w.r.t. the true pixels."""
+    img, mask = fixture
+    whole = run_image(
+        img, mask,
+        AnnotatorConfig(normalize=True, blur=0.3, upper_limit=99.8,
+                        canonical_shapes=False),
+        runner,
+    )
+    cfg = AnnotatorConfig(normalize=True, blur=0.3, upper_limit=99.8,
+                          device_prenorm_cache_bytes=0)
+    tiled = run_image_tiled(img, mask, cfg, runner, band_rows=160)
+    np.testing.assert_array_equal(
+        np.argmax(whole.panel_probs["immune_base"], 1),
+        np.argmax(tiled.panel_probs["immune_base"], 1),
+    )
+    np.testing.assert_allclose(
+        whole.panel_probs["immune_base"], tiled.panel_probs["immune_base"],
+        atol=2e-3,
+    )
+
+
+def test_tiled_canonical_width_shares_programs(runner, fixture):
+    """A second slide with a different WIDTH in the same canonical bucket
+    compiles ZERO new programs — the point of width canonicalization.
+    (Different heights still regenerate a few tiny eager glue ops —
+    concat/slice shapes around the tail band — but share every expensive
+    program: prenorm, stats, extraction, ensemble.)"""
+    from ribca_tpu.utils import logging as rlog
+
+    img, mask = fixture
+    cfg = AnnotatorConfig(normalize=True, blur=0.3, upper_limit=99.8)
+    rlog._ensure_compile_listener()
+    # slide A warms every band program for the (band_rows=160, bucket)
+    run_image_tiled(img, mask, cfg, runner, band_rows=160)
+    mask2, _ = make_cells(h=420, w=110, n_cells=24, seed=2)
+    img2 = make_image(mask2, n_channels=7, seed=2)
+    before = dict(rlog._COMPILES)
+    rec = run_image_tiled(img2, mask2, cfg, runner, band_rows=160)
+    assert rec.n_cells == 24
+    assert rlog._COMPILES["count"] == before["count"], (
+        "different slide width in the same bucket recompiled"
+    )
+
+
 def test_auto_dispatch_by_budget(runner, fixture):
     """run_image must route big images through the banded path."""
     img, mask = fixture
