@@ -141,7 +141,7 @@ def knn_indices_device(
         q_ids = jax.device_put(ids, sh)
         idxs = _knn_block(q_xy, q_ids, pts, n_valid, k, p_chunk)
         pending.append((start, qn, idxs))
-        if len(pending) > 2:
+        if len(pending) > 4:
             s, m, d = pending.pop(0)
             out[s : s + m] = np.asarray(d)[:m]
     for s, m, d in pending:
@@ -346,7 +346,7 @@ def knn_indices_binned(
             jnp.int32(su.nbx), jnp.int32(su.nby), k, su.p,
         )
         pending.append((start, qn, idx, rk))
-        if len(pending) > 2:
+        if len(pending) > 4:
             s, m, d, r = pending.pop(0)
             out[s : s + m] = np.asarray(d)[:m]
             rks[s : s + m] = np.asarray(r)[:m]
@@ -471,7 +471,7 @@ def multiscale_features_device(
                     types_pad, kmax, su.p, ks_c, n_types,
                 )
                 pending.append((start, qn, feats, rk))
-                if len(pending) > 2:
+                if len(pending) > 4:
                     s, m, f, r = pending.pop(0)
                     out[s : s + m] = np.asarray(f)[:m]
                     rks[s : s + m] = np.asarray(r)[:m]
@@ -514,7 +514,7 @@ def multiscale_features_device(
             n_types,
         )
         pending.append((start, qn, feats))
-        if len(pending) > 2:
+        if len(pending) > 4:
             s, m, f = pending.pop(0)
             out[s : s + m] = np.asarray(f)[:m]
     for s, m, f in pending:
