@@ -23,6 +23,10 @@ Metrics (all on one chip):
    (engine/packer.py) and whose shapes share one canonical program set
    (ops/shapes.py). The VERDICT r1 criterion: cohort cells/s should not
    degrade below the single-image plateau.
+5. ``analytics_tissue_region_200k`` — cells/sec through the whole-slide
+   tissue-region pipeline (fused multiscale kNN features + device
+   PCA+k-means) at 200k cells vs the same flow on the host sklearn route
+   (the reference's single-core path, spatial_methods.py:154-193).
 
 Measurement methodology for 1-2 (robust to remote/tunneled devices where
 dispatches are asynchronous and host wall-clock around un-fetched results
@@ -280,6 +284,67 @@ def measure_cohort() -> tuple[float, int]:
     return total / warm, total
 
 
+ANALYTICS_N = 200_000
+ANALYTICS_TYPES = 12
+ANALYTICS_SIZE = 8000
+
+
+def measure_analytics() -> tuple[float, float]:
+    """(cells/sec, host-baseline cells/sec) through the whole-slide
+    tissue-region feature+cluster path at 200k cells: fused multiscale
+    composition on the grid-binned device kNN (ops/knn.py) + device
+    PCA+k-means (ops/cluster.py). Baseline: the same flow forced down the
+    host sklearn route (ball-tree kNN + sklearn PCA/KMeans — the
+    reference's own single-core path, spatial_methods.py:154-193),
+    measured once and cached."""
+    from ribca_tpu.analytics import spatial
+
+    rng = np.random.default_rng(0)
+    im = {
+        "cell_ids": np.arange(1, ANALYTICS_N + 1),
+        "mean_row": rng.uniform(0, ANALYTICS_SIZE, ANALYTICS_N),
+        "mean_col": rng.uniform(0, ANALYTICS_SIZE, ANALYTICS_N),
+        "type_ids": rng.integers(0, ANALYTICS_TYPES, ANALYTICS_N),
+    }
+
+    def once():
+        t0 = time.perf_counter()
+        out = spatial.tissue_region_partition([im], n_clusters=3)
+        assert len(out[0]) == ANALYTICS_N
+        return time.perf_counter() - t0
+
+    cold = once()
+    warm = min(once(), once())
+    print(f"analytics cold={cold:.1f}s warm={warm:.1f}s", file=sys.stderr)
+
+    cached = {}
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            cached = json.load(f)
+    base_rate = cached.get("analytics_cells_per_sec")
+    if not base_rate:
+        # force the host route: drop below every device-routing threshold
+        # by slicing to a size the thresholds exceed is WRONG (different
+        # work) — instead monkeypatch the routing constants high
+        from ribca_tpu.ops import cluster as cl
+        from ribca_tpu.ops import knn as knn_mod
+
+        saved = (knn_mod.DEVICE_KNN_MIN, cl.DEVICE_CLUSTER_MIN)
+        knn_mod.DEVICE_KNN_MIN = cl.DEVICE_CLUSTER_MIN = 1 << 60
+        try:
+            t0 = time.perf_counter()
+            out = spatial.tissue_region_partition([im], n_clusters=3)
+            assert len(out[0]) == ANALYTICS_N
+            base_secs = time.perf_counter() - t0
+        finally:
+            knn_mod.DEVICE_KNN_MIN, cl.DEVICE_CLUSTER_MIN = saved
+        base_rate = ANALYTICS_N / base_secs
+        cached["analytics_cells_per_sec"] = base_rate
+        with open(BASELINE_CACHE, "w") as f:
+            json.dump(cached, f)
+    return ANALYTICS_N / warm, float(base_rate)
+
+
 def _measure_torch_baselines() -> dict:
     """Measured torch-CPU reference-equivalents (cached across runs)."""
     cached = {}
@@ -366,6 +431,11 @@ def main():
     infer_ours = measure_tpu_infer()
     e2e_seconds, n_cells = measure_e2e()
     cohort_rate, _ = measure_cohort()
+    try:
+        analytics_rate, analytics_base = measure_analytics()
+    except Exception as exc:  # never let the extra metric kill the line
+        print(f"analytics metric failed: {exc!r}", file=sys.stderr)
+        analytics_rate = None
     # the baseline e2e estimate charges the reference only its model
     # forwards (immune_base head at torch-CPU rate) — no preprocess or
     # analytics cost — i.e. a conservative lower bound on its wall time
@@ -398,7 +468,14 @@ def main():
                     cohort_rate / baseline["base_cells_per_sec"], 2
                 ),
             },
-        ],
+        ] + ([
+            {
+                "metric": "analytics_tissue_region_200k",
+                "value": round(analytics_rate, 1),
+                "unit": "cells/sec/chip",
+                "vs_baseline": round(analytics_rate / analytics_base, 2),
+            },
+        ] if analytics_rate else []),
     }))
 
 

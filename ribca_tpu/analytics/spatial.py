@@ -73,8 +73,25 @@ def fit_predict_bounded(clusterer, feats, fit_max, seed=None, logger=None,
     mask[sub] = False
     rest = np.nonzero(mask)[0]
     if len(rest):
-        nn = NearestNeighbors(n_neighbors=1).fit(feats[sub])
-        nearest = nn.kneighbors(feats[rest])[1][:, 0]
+        nearest = None
+        if len(rest) >= 50_000:
+            # whole-slide assignment: the blocked device query
+            # (analytics/umap_tpu.knn_query_features — MXU matmuls) beats
+            # the single-core ball tree by an order of magnitude here
+            try:
+                from ribca_tpu.analytics.umap_tpu import (
+                    knn_query_features,
+                )
+
+                nearest = knn_query_features(
+                    np.asarray(feats[rest], np.float32),
+                    np.asarray(feats[sub], np.float32), 1,
+                )[0][:, 0]
+            except Exception:  # no devices / OOM: host fallback
+                nearest = None
+        if nearest is None:
+            nn = NearestNeighbors(n_neighbors=1).fit(feats[sub])
+            nearest = nn.kneighbors(feats[rest])[1][:, 0]
         labels[rest] = sub_labels[nearest]
     return labels
 

@@ -13,6 +13,12 @@ anyway — so this module re-implements the algorithm tpu-first:
   fixed-count vectorized bisection on device (umap's
   ``smooth_knn_dist``, 64 iterations); symmetrization
   ``W + Wᵀ − W∘Wᵀ`` runs on host scipy.sparse (N·k entries, trivial).
+* **Spectral init**: umap's default ``init='spectral'`` (eigenvectors of
+  the normalized fuzzy-graph Laplacian) runs as orthogonal iteration on
+  device — the SpMV is a ``segment_sum`` over the symmetric edge list,
+  QR re-orthonormalizes each step (scipy ``eigsh`` in umap-learn; same
+  subspace, iterative solver). PCA init is the degenerate-graph
+  fallback.
 * **Layout**: umap's per-edge sampling schedule (``epochs_per_sample``)
   is kept exactly, but updates are applied *synchronously* per epoch —
   all active attractive edges and their negative samples compute
@@ -326,6 +332,68 @@ def _optimize_layout(
     return emb
 
 
+@functools.partial(jax.jit, static_argnames=("n", "dim", "n_iter"))
+def _spectral_iter(heads, tails, weights, key, n: int, dim: int,
+                   n_iter: int = 150):
+    """Top-(dim+1) eigenvectors of the normalized fuzzy-graph adjacency
+    by orthogonal (subspace) iteration — umap's spectral init, computed
+    on device.
+
+    umap-learn calls scipy ``eigsh`` on the normalized Laplacian
+    ``L = I - D^-1/2 W D^-1/2`` and takes the smallest-eigenvalue
+    eigenvectors (spectral_layout). Those are the LARGEST eigenvectors of
+    ``A = D^-1/2 W D^-1/2``; shifting by +I keeps the spectrum positive
+    so plain subspace iteration converges to them. The SpMV is a
+    ``segment_sum`` over the symmetric edge list (E entries — the graph
+    already lives on device from the fuzzy-set step). Column 0 converges
+    to the trivial ``d^1/2`` vector and is dropped by the caller.
+    """
+    deg = jax.ops.segment_sum(weights, heads, num_segments=n)
+    dinv = jax.lax.rsqrt(jnp.maximum(deg, 1e-12))
+    wn = weights * dinv[heads] * dinv[tails]
+
+    x0 = jax.random.normal(key, (n, dim + 1), jnp.float32)
+
+    def body(_, x):
+        y = jax.ops.segment_sum(wn[:, None] * x[tails], heads,
+                                num_segments=n)
+        y = y + x  # +I shift: eigenvalues of A+I are in [0, 2]
+        q, _ = jnp.linalg.qr(y)
+        return q
+
+    q = jax.lax.fori_loop(0, n_iter, body, x0)
+    # order columns by Rayleigh quotient of A (descending): column 0 is
+    # then the trivial eigenvector, 1..dim the embedding coordinates
+    aq = jax.ops.segment_sum(wn[:, None] * q[tails], heads,
+                             num_segments=n)
+    ray = jnp.sum(q * aq, axis=0)
+    order = jnp.argsort(-ray)
+    return q[:, order]
+
+
+def _spectral_init(heads: np.ndarray, tails: np.ndarray,
+                   weights: np.ndarray, n: int, dim: int,
+                   seed) -> np.ndarray | None:
+    """umap-parity spectral initialization; None when degenerate
+    (non-finite columns — e.g. an empty graph)."""
+    key = jax.random.PRNGKey(0 if seed is None else int(seed) ^ 0x5BEC)
+    q = np.asarray(_spectral_iter(
+        jnp.asarray(heads), jnp.asarray(tails), jnp.asarray(weights),
+        key, n, dim,
+    ))
+    emb = q[:, 1 : dim + 1]
+    if not np.isfinite(emb).all() or emb.shape[1] < dim:
+        return None
+    # umap scales to the +-10 box and adds tiny noise to break exact ties
+    scale = np.abs(emb).max(axis=0)
+    if (scale <= 1e-12).any():
+        return None
+    emb = emb / scale * 10.0
+    rng = np.random.default_rng(0 if seed is None else int(seed))
+    emb = emb + rng.normal(0.0, 1e-4, emb.shape)
+    return np.ascontiguousarray(emb, dtype=np.float32)
+
+
 def _pca_init(x: np.ndarray, dim: int, seed) -> np.ndarray:
     from sklearn.decomposition import PCA
 
@@ -401,6 +469,12 @@ def umap_embed(
     idx, dist = knn_graph_features(x, n_neighbors)
     heads, tails, weights = fuzzy_simplicial_set(idx, dist)
 
+    # umap's default init: spectral layout of the FULL fuzzy graph
+    # (computed on device; PCA only when degenerate)
+    emb0 = _spectral_init(heads, tails, weights, n, n_components, seed)
+    if emb0 is None:
+        emb0 = _pca_init(x, n_components, seed)
+
     if n_epochs is None:
         n_epochs = 500 if n < 10_000 else 200
     # umap's per-edge schedule: strongest edge every epoch, weight-w
@@ -409,8 +483,6 @@ def umap_embed(
     keep = weights >= max_w / n_epochs
     heads, tails, weights = heads[keep], tails[keep], weights[keep]
     eps = (max_w / weights).astype(np.float32)
-
-    emb0 = _pca_init(x, n_components, seed)
     key = jax.random.PRNGKey(0 if seed is None else int(seed))
     emb = _optimize_layout(
         jax.device_put(emb0),

@@ -139,7 +139,8 @@ def preprocess_image(
     canonical ladder with 'symmetric' image pad and zero mask pad, so a
     cohort of similar-sized images compiles ONE set of programs. The true
     extent travels as traced scalars; statistics and the patch gather
-    mask the pad, keeping results bitwise equal to the unpadded run."""
+    mask the pad, keeping results bitwise equal to the unpadded run for
+    blur=0 and ~1e-5 allclose with a blur kernel (ops/shapes.py)."""
     st = (
         image if isinstance(image, StagedImage)
         else stage_image(image, mask, config, mesh)

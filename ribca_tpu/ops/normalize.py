@@ -70,8 +70,10 @@ def normalize_image(img: jnp.ndarray, blur: float = 0.0, amax: float = 100.0):
 #
 # Shape-bucketed uploads (ops/shapes.py) carry symmetric bottom/right padding
 # so one program serves a whole cohort. The Gaussian steps run over the padded
-# array (pad >= kernel radius + 'symmetric' boundary => valid region bitwise
-# equal to the unpadded reflect-mode filter); the global statistics must see
+# array (pad >= kernel radius + 'symmetric' boundary => valid region equal to
+# the unpadded reflect-mode filter — bitwise for the single bg conv; a chained
+# blur conv's accumulation order varies across padded widths, ~1e-5 allclose,
+# test_shapes.py); the global statistics must see
 # ONLY the true pixels. Pad pixels become NaN and the stats use the nan-aware
 # reductions — jnp.nanpercentile's squash-NaNs path computes the identical
 # sort + linear interpolation over the valid count, so the result is bitwise
@@ -103,7 +105,9 @@ def normalize_image_masked(img: jnp.ndarray, valid_h, valid_w,
     """Normalize a shape-bucketed CHW stack whose true extent is
     (valid_h, valid_w) — traced scalars, so every image in a bucket reuses
     this program. Valid region matches ``normalize_image`` on the unpadded
-    image bitwise; pad pixels return NaN."""
+    image bitwise for ``blur=0``; a nonzero blur chains a second conv
+    whose accumulation order differs across padded widths, weakening the
+    match to ~1e-5 allclose (test_shapes.py). Pad pixels return NaN."""
     _, h, w = img.shape
     valid = (jnp.arange(h)[:, None] < valid_h) & (
         jnp.arange(w)[None, :] < valid_w

@@ -17,8 +17,11 @@ shape ladder so image #2..N of a cohort reuse image #1's programs:
 * the mask zero-pads (background), and the true (H, W) travel as traced
   scalars: normalization statistics mask the pad to NaN
   (ops/normalize.normalize_image_masked) and the patch gather clamps at
-  the true extents (ops/patches full_h/full_w), so results are bitwise
-  equal to the unpadded run.
+  the true extents (ops/patches full_h/full_w). With ``blur=0`` (and
+  with ``normalize=False``) results are BITWISE equal to the unpadded
+  run; with a nonzero blur kernel the chained conv's accumulation order
+  differs across padded widths, so the guarantee weakens to allclose at
+  conv-rounding tolerance (~1e-5; labels unaffected — test_shapes.py).
 """
 
 from __future__ import annotations

@@ -83,8 +83,10 @@ class AnnotatorConfig:
     compile_cache_dir: str = "~/.cache/ribca_tpu/xla"
     # round uploaded images up to a canonical shape ladder (ops/shapes.py)
     # so a cohort of similar-sized images reuses one set of compiled
-    # programs; bitwise-equal results via masked statistics + clamped
-    # gathers. False uploads exact shapes (one compile set per shape).
+    # programs; masked statistics + clamped gathers keep results bitwise
+    # equal for blur=0 and ~1e-5 allclose with a blur kernel
+    # (test_shapes.py). False uploads exact shapes (one compile set per
+    # shape).
     canonical_shapes: bool = True
     # TIFF stacks above this decoded size stream from disk band-by-band
     # (io/tiff_stream.py) instead of materializing in host RAM

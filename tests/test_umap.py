@@ -11,6 +11,7 @@ import pytest
 from ribca_tpu.analytics.embedding import embed
 from ribca_tpu.analytics.umap_tpu import (
     _smooth_knn,
+    _spectral_init,
     fuzzy_simplicial_set,
     knn_graph_features,
     umap_embed,
@@ -97,6 +98,30 @@ def test_layout_preserves_clusters_and_beats_pca():
     t_pca = trustworthiness(x, pca, n_neighbors=12)
     assert t_umap >= t_pca - 0.02
     assert t_umap > 0.9
+
+
+def test_spectral_init_separates_components():
+    """Two disjoint cliques: the Fiedler-style coordinate must split
+    them — the spectral init sees graph structure PCA cannot."""
+    x, labels = _clusters(n_per=150, n_clusters=2, dim=10, seed=21)
+    idx, dist = knn_graph_features(x, 10)
+    heads, tails, w = fuzzy_simplicial_set(idx, dist)
+    emb = _spectral_init(heads, tails, w, len(x), 2, seed=0)
+    assert emb is not None and emb.shape == (len(x), 2)
+    assert np.isfinite(emb).all()
+    assert np.abs(emb).max() <= 10.1  # umap's +-10 box
+    # not the trivial constant eigenvector
+    assert emb.std(axis=0).min() > 1e-3
+    # some coordinate separates the two clusters almost perfectly
+    best = 0.0
+    for d in range(2):
+        thr = np.median(emb[:, d])
+        acc = max(
+            np.mean((emb[:, d] > thr) == (labels == 0)),
+            np.mean((emb[:, d] > thr) == (labels == 1)),
+        )
+        best = max(best, acc)
+    assert best > 0.95
 
 
 def test_deterministic_given_seed():
