@@ -39,9 +39,16 @@ MULTISCALE_KS = (10, 20, 30, 50, 75, 100, 150, 200)
 # fitted sample (documented, loudly logged). Without the guard a
 # whole-slide run silently hands 10^6 x 150 features to single-core
 # sklearn — HDBSCAN takes minutes-to-hours and SpectralClustering builds
-# an O(N^2) affinity (50k cells ~ 20 GB) before doing any work.
-HDBSCAN_FIT_MAX = 100_000
-SPECTRAL_FIT_MAX = 20_000
+# an O(N^2) affinity (50k cells ~ 20 GB) before doing any work. Bounds
+# calibrated on a 1-core host (scripts/validate_scale_500k.py): HDBSCAN
+# 50k x 16-dim 109 s; SpectralClustering 10k x 16-dim 416 s.
+HDBSCAN_FIT_MAX = 50_000
+SPECTRAL_FIT_MAX = 10_000
+# when the fit bound engages, the tissue-partition features are further
+# PCA-projected to this many dims: sklearn's density clusterers lose
+# their tree acceleration above ~20 dims and go O(N^2 D) (measured:
+# 100k-sample ~150-dim HDBSCAN exceeded 45 min on this host)
+BOUNDED_FIT_DIMS = 16
 
 
 def fit_predict_bounded(clusterer, feats, fit_max, seed=None, logger=None,
@@ -367,9 +374,6 @@ def tissue_region_partition(
                 except Exception:  # no devices / OOM: host fallback
                     pass
 
-        if len(feats) > 1:
-            pca = PCA(n_components=0.99)
-            feats = pca.fit_transform(feats)
         jobs = n_jobs if n_jobs and n_jobs > 0 else None
         fit_max = len(feats)
         if method == "kmeans":
@@ -387,6 +391,25 @@ def tissue_region_partition(
             fit_max = SPECTRAL_FIT_MAX
         else:
             raise ValueError(f"unknown method {method}")
+        if len(feats) > 1:
+            n_comp: float | int = 0.99
+            if len(feats) > fit_max and feats.shape[1] > BOUNDED_FIT_DIMS:
+                # whole-slide guard: sklearn's density clusterers fall
+                # back to O(N^2 D) brute-force neighbor searches above
+                # ~20 dims (KDTree degenerates), which is hours at a
+                # 100k-sample fit — cap the projection so the bounded
+                # fit stays tree-accelerated (measured on this host:
+                # 100k x ~150-dim HDBSCAN >45 min; bounded-dim fits run
+                # in minutes)
+                n_comp = min(BOUNDED_FIT_DIMS, min(feats.shape))
+                msg = (
+                    f"tissue_region_partition[{method}]: whole-slide "
+                    f"fit uses a {n_comp}-dim PCA projection "
+                    "(full 0.99-variance PCA below the fit bound)"
+                )
+                if logger is not None:
+                    logger.log(msg)
+            feats = PCA(n_components=n_comp).fit_transform(feats)
         labels = fit_predict_bounded(
             clusterer, feats, fit_max, seed=seed, logger=logger,
             what=f"tissue_region_partition[{method}]",
