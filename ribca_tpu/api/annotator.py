@@ -46,6 +46,7 @@ from ribca_tpu.outputs import (
 from ribca_tpu.outputs.plots import composition_pie, marker_heatmap, umap_scatter
 from ribca_tpu.panels.parser import MarkerParser
 from ribca_tpu.parallel.mesh import get_mesh
+from ribca_tpu.utils.cache import enable_compile_cache as _enable_compile_cache
 from ribca_tpu.utils.config import AnnotatorConfig
 from ribca_tpu.utils.logging import Logger
 
@@ -768,48 +769,6 @@ class Annotator:
         self.logger.write_trace_summary()
 
 
-def _host_fingerprint() -> str:
-    """Short hash of this host's CPU feature flags. XLA:CPU loads cached
-    AOT executables compiled on a DIFFERENT machine generation with only
-    a warning — and they can run orders of magnitude slower (observed:
-    a sub-second ensemble flush taking 340 s from a stale cache).
-    Keying the cache dir on the feature set sidesteps that."""
-    try:
-        import hashlib
-
-        with open("/proc/cpuinfo") as f:
-            for line in f:
-                if line.startswith("flags"):
-                    return hashlib.sha1(line.encode()).hexdigest()[:10]
-    except Exception:
-        pass
-    return "generic"
-
-
-def _enable_compile_cache(cache_dir: str | None) -> None:
-    """Persistent XLA compile cache (cold compiles cost minutes on
-    remote-compiled TPUs); safe no-op when disabled or already set.
-    The directory is keyed on the host CPU fingerprint — see
-    ``_host_fingerprint``."""
-    if not cache_dir:
-        return
-    import jax
-
-    try:
-        path = os.path.join(
-            os.path.expanduser(cache_dir), _host_fingerprint()
-        )
-        os.makedirs(path, exist_ok=True)
-        if jax.config.jax_compilation_cache_dir is None:
-            jax.config.update("jax_compilation_cache_dir", path)
-            # persist EVERYTHING: the ensemble tail programs compile in
-            # ~0.35 s each, so any positive threshold silently exempts
-            # them and fresh processes recompile on every run
-            jax.config.update(
-                "jax_persistent_cache_min_compile_time_secs", 0.0
-            )
-    except Exception:
-        pass
 
 
 def _dtype_from_name(name: str):

@@ -34,6 +34,9 @@ def get_mesh(n_devices: int | None = None,
     config/CLI/GUI knob); an unavailable platform falls back to the
     default backend ('cuda' from reference-style configs maps there too).
     """
+    from ribca_tpu.utils.cache import ensure_compile_cache
+
+    ensure_compile_cache()
     devices = None
     if platform and platform not in ("cuda", "gpu"):
         try:
@@ -84,6 +87,9 @@ def get_local_mesh(platform: str | None = None) -> Mesh:
     per-slide programs on its local chips with no cross-host collectives
     — per-slide work needs only ICI (SURVEY §5), and hosts running
     different dispatch counts must not share a global mesh."""
+    from ribca_tpu.utils.cache import ensure_compile_cache
+
+    ensure_compile_cache()
     devices = None
     if platform and platform not in ("cuda", "gpu"):
         try:
