@@ -78,11 +78,12 @@ def parse_args(argv=None) -> argparse.Namespace:
     parser = argparse.ArgumentParser(
         description="Process images with markers"
     )
-    parser.add_argument("--marker-list-path", type=str, required=True)
+    # required for runs; server jobs carry their own (validated post-parse)
+    parser.add_argument("--marker-list-path", type=str, default=None)
     parser.add_argument("--device", type=str, default="tpu",
                         help="Device to run on (tpu/cpu)")
     parser.add_argument("--main-dir", type=str, default="./")
-    parser.add_argument("--batch-id", type=str, required=True)
+    parser.add_argument("--batch-id", type=str, default=None)
     parser.add_argument("--strict", action="store_true")
     parser.add_argument("--infer", action="store_true", default=True)
     parser.add_argument("--min-cells", type=int, default=-1)
@@ -112,16 +113,30 @@ def parse_args(argv=None) -> argparse.Namespace:
                              "flow validation only). Production CLI runs "
                              "fail fast without this flag — the reference "
                              "silently skips absent panels, model.py:195")
+    parser.add_argument("--serve", type=str, default=None, metavar="DIR",
+                        help="Run as a persistent annotation server "
+                             "draining the job-queue directory DIR "
+                             "(api/server.py): compiled programs stay "
+                             "resident, so every job after the first "
+                             "pays zero XLA compiles. Combine with "
+                             "--warm-cache to pre-compile before job #1. "
+                             "Stop with a 'stop' file in DIR.")
     group = parser.add_mutually_exclusive_group()
     group.add_argument("--image-path", type=str)
     group.add_argument("--batch-csv", type=str)
     parser.add_argument("--mask-path", type=str)
 
     args = parser.parse_args(argv)
-    if not (args.image_path or args.batch_csv or args.warm_cache):
+    if not (args.image_path or args.batch_csv or args.warm_cache
+            or args.serve):
         parser.error("one of --image-path or --batch-csv is required")
     if args.image_path and not args.mask_path:
         parser.error("--mask-path is required when using --image-path")
+    if not args.serve:
+        if args.marker_list_path is None:
+            parser.error("--marker-list-path is required")
+        if args.batch_id is None:
+            parser.error("--batch-id is required")
     return args
 
 
@@ -174,6 +189,20 @@ def main(argv=None):
 
     maybe_init_distributed()
     args = parse_args(argv)
+    if args.serve:
+        from ribca_tpu.api.server import serve
+
+        defaults = {}
+        if args.marker_list_path:
+            defaults["marker_file"] = args.marker_list_path
+        if args.allow_random_weights:
+            defaults["allow_random_weights"] = True
+        return serve(
+            args.serve,
+            defaults=defaults or None,
+            warm=args.warm_cache,
+            warm_shapes=_parse_warm_shapes(args.warm_shapes),
+        )
     config = config_from_args(args)
     if args.warm_cache:
         warmer = Annotator(config)
