@@ -6,14 +6,22 @@ checkpoint identities and destination layout but targets the registry's
 native store: after download, each ``.pth`` is converted once to ``.npz``
 (models/convert.py) and torch is never needed again.
 
-gdown / network access is optional: without either, the function reports
-what is missing instead of failing, and the registry falls back per its
-policy (models/registry.py).
+Network access is optional: offline, the function reports what is
+missing instead of failing, and the registry falls back per its policy
+(models/registry.py). The fetch itself needs NO third-party package —
+``_gdrive_fetch`` speaks Drive's ``uc?export=download`` protocol with
+the stdlib (including the large-file virus-scan interstitial that gdown
+exists to handle); gdown is used instead when installed, since its
+fuzzy-matching handles future URL-shape drift.
 """
 
 from __future__ import annotations
 
+import html
 import os
+import re
+import urllib.parse
+import urllib.request
 
 # Same checkpoint identities and URLs as the reference's download table
 # (download_models.py:7-24); fetched with gdown fuzzy matching.
@@ -37,8 +45,63 @@ CHECKPOINT_URLS: dict[str, str] = {
 }
 
 
+_ID_RE = re.compile(r"/file/d/([\w-]+)")
+_FORM_RE = re.compile(r"<form[^>]*action=\"([^\"]+)\"[^>]*>(.*?)</form>",
+                      re.S)
+_INPUT_RE = re.compile(
+    r"<input[^>]*name=\"([^\"]+)\"[^>]*value=\"([^\"]*)\"")
+
+
+def _gdrive_fetch(url: str, dest: str, opener=None) -> None:
+    """Download a Google Drive file with the stdlib only.
+
+    Drive's direct endpoint (``uc?export=download&id=…``) returns the
+    bytes for small files; for files beyond the virus-scan limit it
+    returns an HTML interstitial whose <form> carries the real download
+    action (drive.usercontent.google.com) plus hidden inputs (id,
+    export, confirm, uuid). We submit that form — exactly what gdown
+    automates. ``opener`` is injectable for offline tests.
+    """
+    if opener is None:
+        def opener(req):
+            return urllib.request.urlopen(req, timeout=60)
+    m = _ID_RE.search(url)
+    file_id = m.group(1) if m else urllib.parse.parse_qs(
+        urllib.parse.urlparse(url).query).get("id", [url])[0]
+    req_url = f"https://drive.google.com/uc?export=download&id={file_id}"
+
+    for _hop in range(3):  # direct -> interstitial form -> bytes
+        req = urllib.request.Request(
+            req_url, headers={"User-Agent": "ribca-tpu/1.0"})
+        with opener(req) as resp:
+            ctype = resp.headers.get("Content-Type", "")
+            if "text/html" not in ctype:
+                part = dest + ".part"
+                with open(part, "wb") as f:
+                    while True:
+                        chunk = resp.read(1 << 20)
+                        if not chunk:
+                            break
+                        f.write(chunk)
+                os.replace(part, dest)
+                return
+            page = resp.read().decode("utf-8", "replace")
+        form = _FORM_RE.search(page)
+        if form is None:
+            raise RuntimeError(
+                f"Drive returned HTML without a download form for "
+                f"{file_id} (quota exceeded or permission change?)")
+        action = html.unescape(form.group(1))
+        fields = {k: html.unescape(v)
+                  for k, v in _INPUT_RE.findall(form.group(2))}
+        req_url = action + ("&" if "?" in action else "?") + \
+            urllib.parse.urlencode(fields)
+    raise RuntimeError(f"Drive interstitial loop for {file_id}")
+
+
 def download_models(models_dir: str | None = None,
-                    convert: bool = True) -> dict[str, str]:
+                    convert: bool = True,
+                    opener=None) -> dict[str, str]:
     """Fetch missing checkpoints into ``models_dir``; returns a status map
     {filename: 'present' | 'downloaded' | 'missing (<reason>)'}."""
     from ribca_tpu.models.registry import DEFAULT_MODELS_DIR
@@ -57,14 +120,14 @@ def download_models(models_dir: str | None = None,
         if os.path.exists(npz) or os.path.exists(dest):
             status[name] = "present"
             continue
-        if gdown is None:
-            status[name] = "missing (gdown not installed)"
-            continue
         try:
-            gdown.download(url, dest, quiet=False, fuzzy=True)
+            if gdown is not None and opener is None:
+                gdown.download(url, dest, quiet=False, fuzzy=True)
+            else:
+                _gdrive_fetch(url, dest, opener=opener)
             status[name] = "downloaded"
         except Exception as e:  # network-restricted environments
-            status[name] = f"missing ({type(e).__name__})"
+            status[name] = f"missing ({type(e).__name__}: {e})"
 
     if convert:
         _convert_all(models_dir)

@@ -123,5 +123,65 @@ def test_download_status_without_network(tmp_path):
         "struct.pth", "nerve.pth", "immune_base_impute.pth",
         "immune_extended_impute.pth", "immune_full_impute.pth",
     }
-    status = download_models(str(tmp_path))
+    def offline_opener(req):
+        raise OSError("no egress")
+
+    status = download_models(str(tmp_path), opener=offline_opener)
     assert all(v.startswith("missing") for v in status.values())
+
+
+def test_gdrive_fetch_interstitial(tmp_path):
+    """_gdrive_fetch follows Drive's virus-scan form hop (the thing gdown
+    automates) with the stdlib only; exercised offline via an injected
+    opener serving canned responses."""
+    import io
+
+    from ribca_tpu.models.download import _gdrive_fetch, download_models
+
+    payload = b"\x80\x04fake-checkpoint-bytes" * 100
+    interstitial = (
+        '<html><body><form id="download-form" '
+        'action="https://drive.usercontent.google.com/download" '
+        'method="get">'
+        '<input type="hidden" name="id" value="FILEID123">'
+        '<input type="hidden" name="export" value="download">'
+        '<input type="hidden" name="confirm" value="t">'
+        '<input type="hidden" name="uuid" value="abc-def">'
+        '</form></body></html>'
+    ).encode()
+
+    seen = []
+
+    class FakeResp(io.BytesIO):
+        def __init__(self, body, ctype):
+            super().__init__(body)
+            self.headers = {"Content-Type": ctype}
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    def opener(req):
+        seen.append(req.full_url)
+        if "usercontent" in req.full_url:
+            assert "confirm=t" in req.full_url
+            assert "id=FILEID123" in req.full_url
+            return FakeResp(payload, "application/octet-stream")
+        return FakeResp(interstitial, "text/html; charset=utf-8")
+
+    dest = tmp_path / "ckpt.pth"
+    _gdrive_fetch(
+        "https://drive.google.com/file/d/FILEID123/view?usp=sharing",
+        str(dest), opener=opener)
+    assert dest.read_bytes() == payload
+    assert len(seen) == 2 and "uc?export=download&id=FILEID123" in seen[0]
+
+    # small-file path: bytes on the first hop, via the public entrypoint
+    def direct_opener(req):
+        return FakeResp(payload, "application/octet-stream")
+
+    status = download_models(str(tmp_path), convert=False,
+                             opener=direct_opener)
+    assert all(v == "downloaded" for v in status.values())
