@@ -39,6 +39,15 @@ host->device transfer in the timed path). Metric 3 is a real wall-clock:
 every pipeline stage materializes host-side outputs, so the clock cannot
 run ahead of the device.
 
+Weights: metrics 1-2 time pure device forwards, where values cannot
+change the FLOPs — they run the registry's deterministic random init.
+Metrics 3-4 run CALIBRATED weights (models/calibrate.py): the fixtures
+plant per-cell types with biology-style marker signatures and the
+immune_base head is fine-tuned on that distribution, so softmax
+peaking, voting accept rates, the Others fraction, and region
+composition are representative of a real run; the e2e scenario also
+reports its planted-type accuracy on stderr.
+
 The reference repo publishes no numbers (BASELINE.md), so baselines are
 MEASURED: the same workloads through torch at the reference's default
 batch sizes (bs=128 inference, 64-per-forward MAE; main.py:88,
@@ -157,28 +166,97 @@ def measure_tpu_infer() -> float:
     return _chained_throughput(runner, n_channels)
 
 
-def _e2e_fixture():
-    """Synthetic 3000x3000x7 uint16 slide with ~20k cells (cached)."""
+def _calibrated_models_dir() -> str:
+    """Weights dir holding a calibrated immune_base head (cached).
+
+    The e2e/cohort scenarios run planted-signature fixtures with a head
+    fine-tuned on that distribution (models/calibrate.py), so voting
+    accept rates, Others fraction, and region composition are
+    representative — random weights make every cell fall below the 0.3
+    confidence line (VERDICT r2 weak #5)."""
+    d = os.path.join(E2E_DIR, "weights")
+    npz = os.path.join(d, "immune_base.npz")
+    acc_path = os.path.join(d, "immune_base.acc")
+    if not os.path.exists(npz):
+        from ribca_tpu.models.calibrate import calibrate_panel
+
+        t0 = time.perf_counter()
+        r = calibrate_panel("immune_base", d, n_cells=4096,
+                            image_hw=(1024, 1024), epochs=6, seed=0)
+        with open(acc_path, "w") as f:
+            f.write(f"{r.holdout_accuracy}")
+        print(
+            f"calibrated immune_base in {time.perf_counter() - t0:.1f}s: "
+            f"holdout acc {r.holdout_accuracy:.3f}",
+            file=sys.stderr,
+        )
+    return d
+
+
+def _typed_slide(img_path, mask_path, types_path, hw: int, n_cells: int,
+                 seed: int):
+    """Write a planted-type immune_base slide fixture (cached)."""
     from PIL import Image
 
     from ribca_tpu.io import write_tiff
+    from ribca_tpu.models.calibrate import (
+        make_typed_cells,
+        panel_signatures,
+        typed_image,
+    )
+
+    if (os.path.exists(img_path) and os.path.exists(mask_path)
+            and os.path.exists(types_path)):
+        return
+    sig = panel_signatures("immune_base")
+    mask, types = make_typed_cells(hw, hw, n_cells, sig.shape[0],
+                                   radius=8, seed=seed)
+    img = typed_image(mask, types, sig, seed=seed)
+    write_tiff(img_path, img)
+    Image.fromarray(mask.astype(np.uint16)).save(mask_path)
+    np.save(types_path, types)
+
+
+def _planted_accuracy(result_dir: str, types_path: str) -> float | None:
+    """Planted-type accuracy from a run's annotation CSV (None when the
+    CSV is absent)."""
+    import csv
+    import glob
+
+    from ribca_tpu.panels.vocab import PANEL_CLASS_MAPS
+
+    csvs = glob.glob(os.path.join(result_dir, "*_annotation_*.csv"))
+    if not csvs:
+        return None
+    types = np.load(types_path)
+    names = PANEL_CLASS_MAPS["immune_base"]
+    correct = total = 0
+    for path in csvs:
+        with open(path) as f:
+            for row in csv.DictReader(f):
+                cid = int(row["Cell Index"])
+                if not (1 <= cid <= len(types)):
+                    continue
+                total += 1
+                correct += row["Cell Type"] == names[int(types[cid - 1])]
+    return correct / max(total, 1)
+
+
+def _e2e_fixture():
+    """Synthetic 3000x3000x7 uint16 slide, ~20k planted-type cells
+    (cached)."""
     from ribca_tpu.panels.vocab import PANELS
-    from tests.synth import make_cells, make_image
 
     os.makedirs(E2E_DIR, exist_ok=True)
-    img_path = os.path.join(E2E_DIR, "slide.tif")
-    mask_path = os.path.join(E2E_DIR, "mask.png")
+    img_path = os.path.join(E2E_DIR, "slide_typed.tif")
+    mask_path = os.path.join(E2E_DIR, "mask_typed.png")
+    types_path = os.path.join(E2E_DIR, "types.npy")
     marker_path = os.path.join(E2E_DIR, "markers.txt")
-    if not (os.path.exists(img_path) and os.path.exists(mask_path)):
-        mask, _ = make_cells(
-            h=E2E_SIZE, w=E2E_SIZE, n_cells=E2E_CELLS, radius=8, seed=0
-        )
-        img = make_image(mask, n_channels=7, seed=0)
-        write_tiff(img_path, img)
-        Image.fromarray(mask.astype(np.uint16)).save(mask_path)
+    _typed_slide(img_path, mask_path, types_path, E2E_SIZE, E2E_CELLS,
+                 seed=0)
     with open(marker_path, "w") as f:
         f.write("\n".join(PANELS["immune_base"]) + "\n")
-    return marker_path, img_path, mask_path
+    return marker_path, img_path, mask_path, types_path
 
 
 def measure_e2e() -> tuple[float, int]:
@@ -189,30 +267,53 @@ def measure_e2e() -> tuple[float, int]:
     from ribca_tpu import cli
     from ribca_tpu.utils.config import AnnotatorConfig
 
-    marker_path, img_path, mask_path = _e2e_fixture()
+    marker_path, img_path, mask_path, types_path = _e2e_fixture()
+    models_dir = _calibrated_models_dir()
 
-    def once():
+    def once(keep_csv: bool = False):
         run_dir = tempfile.mkdtemp(prefix="ribca_bench_run_")
         config = AnnotatorConfig(
             marker_file=marker_path, image_path=img_path,
             mask_path=mask_path, main_dir=run_dir, batch_id="bench",
-            strict=True, infer=False,
+            strict=True, infer=False, models_dir=models_dir,
+            allow_random_weights=False,
         )
         t0 = time.perf_counter()
         cli.run(config, bs=config.batch_size,
                 n_regions=config.n_regions)
         dt = time.perf_counter() - t0
+        acc = (
+            _planted_accuracy(os.path.join(run_dir, "results"),
+                              types_path)
+            if keep_csv else None
+        )
         shutil.rmtree(run_dir, ignore_errors=True)
-        return dt
+        return dt if not keep_csv else (dt, acc)
 
     cold = once()  # compiles (persistent cache makes reruns cheap)
     # best of 3 warm runs: the tunneled device is shared and run-to-run
     # contention can inflate a warm run 3-4x (observed: a 9.0 s cohort
     # predict measuring 28 s minutes earlier, identical code and zero
     # compiles both times) — the min is the honest capability number
-    warms = [once(), once(), once()]
+    warms = [once(), once()]
+    last, acc = once(keep_csv=True)
+    warms.append(last)
     warm = min(warms)
-    print(f"e2e cold={cold:.1f}s warm={warms}", file=sys.stderr)
+    print(
+        f"e2e cold={cold:.1f}s warm={warms} "
+        f"planted-type accuracy={acc if acc is None else round(acc, 3)}",
+        file=sys.stderr,
+    )
+    # collapse detector: a head that degenerates to one class scores
+    # ~0.2 here (uniform 5-type planting); healthy calibrations measure
+    # ~0.75-0.80 (confusions + below-confidence cells voted Others)
+    if acc is not None and acc < 0.5:
+        print(
+            f"WARNING: planted-type e2e accuracy {acc:.3f} < 0.5 — the "
+            "calibrated head did not generalize to the e2e fixture; "
+            "voting distributions in this run are NOT representative",
+            file=sys.stderr,
+        )
     return warm, E2E_CELLS
 
 
@@ -231,22 +332,29 @@ def measure_cohort() -> tuple[float, int]:
     from ribca_tpu.api.annotator import Annotator
     from ribca_tpu.io import write_tiff
     from ribca_tpu.io.manifest import write_manifest
+    from ribca_tpu.models.calibrate import (
+        make_typed_cells,
+        panel_signatures,
+        typed_image,
+    )
     from ribca_tpu.panels.vocab import PANELS
     from ribca_tpu.utils.config import AnnotatorConfig
-    from tests.synth import make_cells, make_image
 
+    models_dir = _calibrated_models_dir()
     cohort_dir = os.path.join(E2E_DIR, "cohort")
     os.makedirs(cohort_dir, exist_ok=True)
+    sig = panel_signatures("immune_base")
     pairs = []
     for i in range(COHORT_SLIDES):
-        img_path = os.path.join(cohort_dir, f"slide_{i}.tif")
-        mask_path = os.path.join(cohort_dir, f"mask_{i}.png")
+        img_path = os.path.join(cohort_dir, f"slide_typed_{i}.tif")
+        mask_path = os.path.join(cohort_dir, f"mask_typed_{i}.png")
         if not (os.path.exists(img_path) and os.path.exists(mask_path)):
             # slightly different sizes: exercises canonical shape buckets
             hw = COHORT_SIZE + 16 * i
-            mask, _ = make_cells(h=hw, w=hw, n_cells=COHORT_CELLS,
-                                 radius=5, seed=100 + i)
-            img = make_image(mask, n_channels=7, seed=100 + i)
+            mask, types = make_typed_cells(hw, hw, COHORT_CELLS,
+                                           sig.shape[0], radius=5,
+                                           seed=100 + i)
+            img = typed_image(mask, types, sig, seed=100 + i)
             write_tiff(img_path, img)
             Image.fromarray(mask.astype(np.uint16)).save(mask_path)
         pairs.append((img_path, mask_path))
@@ -261,6 +369,7 @@ def measure_cohort() -> tuple[float, int]:
         config = AnnotatorConfig(
             marker_file=marker_path, csv_file=csv_path, main_dir=run_dir,
             batch_id="bench", strict=True, infer=False,
+            models_dir=models_dir, allow_random_weights=False,
         )
         a = Annotator(config)
         a.preprocess()

@@ -90,7 +90,7 @@ class Annotator:
 
         _enable_compile_cache(config.compile_cache_dir)
         self.registry = ModelRegistry(
-            models_dir, logger=self.logger,
+            models_dir or config.models_dir, logger=self.logger,
             allow_random=config.allow_random_weights,
         )
         self.mesh = (

@@ -113,6 +113,11 @@ def parse_args(argv=None) -> argparse.Namespace:
                              "flow validation only). Production CLI runs "
                              "fail fast without this flag — the reference "
                              "silently skips absent panels, model.py:195")
+    parser.add_argument("--models-dir", type=str, default=None,
+                        help="Checkpoint directory for the model registry "
+                             "(default: the package's bundled weights dir; "
+                             "the reference hardcodes cwd-relative .pth "
+                             "paths, model.py:189-239)")
     parser.add_argument("--serve", type=str, default=None, metavar="DIR",
                         help="Run as a persistent annotation server "
                              "draining the job-queue directory DIR "
@@ -171,6 +176,7 @@ def config_from_args(args: argparse.Namespace) -> AnnotatorConfig:
         # (library/bench/test callers construct AnnotatorConfig directly
         # and keep its permissive default)
         allow_random_weights=args.allow_random_weights,
+        models_dir=args.models_dir,
     )
 
 
@@ -197,6 +203,8 @@ def main(argv=None):
             defaults["marker_file"] = args.marker_list_path
         if args.allow_random_weights:
             defaults["allow_random_weights"] = True
+        if args.models_dir:
+            defaults["models_dir"] = args.models_dir
         return serve(
             args.serve,
             defaults=defaults or None,

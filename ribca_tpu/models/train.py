@@ -38,6 +38,10 @@ from ribca_tpu.parallel.mesh import (
 )
 
 
+# fit(device_data="auto") keeps datasets up to this size resident in HBM
+DEVICE_FIT_BYTES = 1 << 30
+
+
 @dataclasses.dataclass
 class TrainConfig:
     learning_rate: float = 1e-4
@@ -81,10 +85,12 @@ class Trainer:
         self.tx = optax.chain(*tx)
 
         rep = replicated_sharding(self.mesh)
+        self._rep = rep
         self.params = jax.device_put(params, rep)
         self.opt_state = jax.device_put(self.tx.init(self.params), rep)
         self._data_sh = cell_sharding(self.mesh)
         self._step = self._build_step(rep)
+        self._step_idx = None  # device-resident-data variant, built lazily
 
     def _build_step(self, rep):
         model, tx = self.model, self.tx
@@ -116,10 +122,34 @@ class Trainer:
             updates, opt_state = tx.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), opt_state, loss, acc
 
+        self._loss_fn = loss_fn
         data = self._data_sh
         return jax.jit(
             step,
             in_shardings=(rep, rep, data, data, data),
+            out_shardings=(rep, rep, rep, rep),
+        )
+
+    def _build_step_idx(self, rep):
+        """The same train step over a device-resident dataset: inputs are
+        (x_all, y_all, idx, w) and the batch gathers on device (the index
+        vector is sharded over the cell axis, so DP still splits the
+        gather+forward across the mesh)."""
+        tx, loss_fn = self.tx, self._loss_fn
+
+        def step(params, opt_state, x_all, y_all, idx, w):
+            x = jnp.take(x_all, idx, axis=0)
+            y = jnp.take(y_all, idx, axis=0)
+            (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, x, y, w
+            )
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss, acc
+
+        data = self._data_sh
+        return jax.jit(
+            step,
+            in_shardings=(rep, rep, rep, rep, data, data),
             out_shardings=(rep, rep, rep, rep),
         )
 
@@ -137,12 +167,23 @@ class Trainer:
             y = np.concatenate([y, np.zeros(bs - n, y.dtype)])
         return x, y, w
 
-    def batches(self, x, y, rng) -> Iterator[tuple]:
+    def batches(self, x, y, rng, indices: bool = False) -> Iterator[tuple]:
+        """Shuffled padded batches; with ``indices`` yields
+        (index_vector, None, weights) instead of materialized arrays —
+        same permutation stream, so both modes see identical batches."""
         idx = rng.permutation(len(x))
         bs = self.config.batch_size
         for start in range(0, len(x), bs):
             sel = idx[start:start + bs]
-            yield self._pad_batch(x[sel], y[sel])
+            if indices:
+                n = len(sel)
+                w = np.zeros(bs, np.float32)
+                w[:n] = 1.0
+                padded = np.zeros(bs, np.int64)
+                padded[:n] = sel
+                yield padded, None, w
+            else:
+                yield self._pad_batch(x[sel], y[sel])
 
     # -- public API -----------------------------------------------------------
 
@@ -159,18 +200,36 @@ class Trainer:
         )
         return float(loss), float(acc)
 
-    def fit(self, x, y, epochs: int = 1, log_every: int = 0, logger=None):
+    def fit(self, x, y, epochs: int = 1, log_every: int = 0, logger=None,
+            device_data: bool | str = "auto"):
         """Fine-tune on (N, C, 40, 40) patches with int labels; returns the
-        per-epoch (loss, acc) history."""
+        per-epoch (loss, acc) history.
+
+        ``device_data`` keeps the whole dataset resident in HBM and
+        gathers each batch on device, so a step uploads only its index
+        vector instead of the patch tensor — the per-step transfer drops
+        from ~12 MB to ~1 KB, which dominates wall time on serialized
+        host<->device links (tunneled chips). "auto" = on when the set
+        fits ``DEVICE_FIT_BYTES``; results are identical to the host
+        path (same batch order, same padding)."""
         x = np.asarray(x, np.float32)
         y = np.asarray(y, np.int64)
+        if device_data == "auto":
+            device_data = x.nbytes <= DEVICE_FIT_BYTES
         rng = np.random.default_rng(self.config.seed)
+        step_fn = (
+            self._device_data_stepper(x, y) if device_data and len(x)
+            else None
+        )
         history = []
         step = 0
         for _ in range(epochs):
             losses, accs = [], []
-            for bx, by, bw in self.batches(x, y, rng):
-                loss, acc = self.train_step(bx, by, bw)
+            for bx, by, bw in self.batches(x, y, rng, indices=bool(step_fn)):
+                if step_fn is not None:
+                    loss, acc = step_fn(bx, bw)
+                else:
+                    loss, acc = self.train_step(bx, by, bw)
                 losses.append(loss)
                 accs.append(acc)
                 step += 1
@@ -180,6 +239,25 @@ class Trainer:
                     )
             history.append((float(np.mean(losses)), float(np.mean(accs))))
         return history
+
+    def _device_data_stepper(self, x, y):
+        """Upload (x, y) once; return step(idx, w) closing over them."""
+        rep = self._rep
+        x_all = jax.device_put(x, rep)
+        y_all = jax.device_put(np.asarray(y, np.int32), rep)
+        if self._step_idx is None:
+            self._step_idx = self._build_step_idx(rep)
+        sh = self._data_sh
+
+        def step(idx, w):
+            idx = jax.device_put(np.asarray(idx, np.int32), sh)
+            w = jax.device_put(np.asarray(w, np.float32), sh)
+            self.params, self.opt_state, loss, acc = self._step_idx(
+                self.params, self.opt_state, x_all, y_all, idx, w
+            )
+            return float(loss), float(acc)
+
+        return step
 
     def evaluate(self, x, y) -> float:
         """Accuracy over a labeled set (batched, padded)."""

@@ -94,6 +94,10 @@ class AnnotatorConfig:
     # run with random-initialized weights when checkpoints are missing
     # (loudly logged + stderr warning); False makes missing weights fatal
     allow_random_weights: bool = True
+    # checkpoint directory for the model registry; None = the package's
+    # bundled weights dir (the reference hardcodes cwd-relative .pth
+    # paths, model.py:189-239 — here the location is a config knob)
+    models_dir: Optional[str] = None
     # multi-host batch runs (jax.distributed initialized): partition the
     # manifest's slides across hosts round-robin, each host annotating
     # its subset on its LOCAL chips (no cross-host collectives). Each

@@ -63,3 +63,30 @@ def test_checkpoint_roundtrip(trainer, tmp_path):
         np.asarray(leaves_t[0], np.float32), np.asarray(leaves_r[0]),
         atol=1e-6,
     )
+
+
+def test_device_data_fit_matches_host_path(toy_data):
+    """fit(device_data=True) gathers batches from an HBM-resident set;
+    same permutation stream + same padding => identical training to the
+    per-step-upload path."""
+    import jax
+
+    x, y = toy_data
+    mk = lambda: Trainer(
+        "nerve_cell",
+        TrainConfig(batch_size=16, learning_rate=1e-3, dtype="float32",
+                    seed=0),
+        mesh=get_mesh(),
+    )
+    t_host = mk()
+    h_host = t_host.fit(x[:32], y[:32], epochs=1, device_data=False)
+    t_dev = mk()
+    h_dev = t_dev.fit(x[:32], y[:32], epochs=1, device_data=True)
+    np.testing.assert_allclose(h_host, h_dev, rtol=1e-4, atol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(t_host.params),
+        jax.tree_util.tree_leaves(t_dev.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        )
