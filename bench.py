@@ -440,15 +440,18 @@ def measure_analytics() -> tuple[float, float]:
         from ribca_tpu.ops import cluster as cl
         from ribca_tpu.ops import knn as knn_mod
 
-        saved = (knn_mod.DEVICE_KNN_MIN, cl.DEVICE_CLUSTER_MIN)
-        knn_mod.DEVICE_KNN_MIN = cl.DEVICE_CLUSTER_MIN = 1 << 60
+        saved = (knn_mod.DEVICE_KNN_MIN, knn_mod.BINNED_KNN_MIN,
+                 cl.DEVICE_CLUSTER_MIN)
+        knn_mod.DEVICE_KNN_MIN = knn_mod.BINNED_KNN_MIN = 1 << 60
+        cl.DEVICE_CLUSTER_MIN = 1 << 60
         try:
             t0 = time.perf_counter()
             out = spatial.tissue_region_partition([im], n_clusters=3)
             assert len(out[0]) == ANALYTICS_N
             base_secs = time.perf_counter() - t0
         finally:
-            knn_mod.DEVICE_KNN_MIN, cl.DEVICE_CLUSTER_MIN = saved
+            (knn_mod.DEVICE_KNN_MIN, knn_mod.BINNED_KNN_MIN,
+             cl.DEVICE_CLUSTER_MIN) = saved
         base_rate = ANALYTICS_N / base_secs
         cached["analytics_cells_per_sec"] = base_rate
         with open(BASELINE_CACHE, "w") as f:

@@ -289,7 +289,7 @@ def multiscale_composition(
 
     from ribca_tpu.ops.knn import DEVICE_KNN_MIN, multiscale_features_device
 
-    if len(coords) >= DEVICE_KNN_MIN and ks == MULTISCALE_KS:
+    if len(coords) >= DEVICE_KNN_MIN and tuple(ks) == MULTISCALE_KS:
         try:
             fused = multiscale_features_device(
                 coords, type_ids, n_types, ks

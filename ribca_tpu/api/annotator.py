@@ -685,6 +685,7 @@ class Annotator:
                     if self.tissue_regions is not None else None
                 ),
                 tissue_colors=tissue_colors,
+                want_labels=not from_script,
             )
             rd, bid = self.result_dir, self.batch_id
             Image.fromarray(maps["cell_type_rgb"]).save(

@@ -31,8 +31,10 @@ import os
 import numpy as np
 
 from ribca_tpu.panels.vocab import (
+    CELL_TYPES,
     PANEL_CLASS_MAPS,
     PANELS,
+    others_index,
 )
 from ribca_tpu.models.registry import CLASSIFIER_BASENAME
 
@@ -74,6 +76,45 @@ def panel_signatures(panel: str, markers: list[str] | None = None) -> np.ndarray
             if m in pos:
                 sig[cls, j] = 1.0
     return sig
+
+
+def union_markers(panels) -> list[str]:
+    """Union of the panels' marker lists, first-occurrence order — the
+    marker file a multi-panel slide would ship (all listed panels parse
+    as fully present under strict=True)."""
+    out: list[str] = []
+    for p in panels:
+        for m in PANELS[p]:
+            if m not in out:
+                out.append(m)
+    return out
+
+
+def global_signatures(markers: list[str]) -> np.ndarray:
+    """(18, n_markers) 0/1 expression table over the GLOBAL cell-type
+    vocabulary (CELL_TYPES order) — for planting multi-panel fixtures
+    whose types span every panel's head."""
+    sig = np.zeros((len(CELL_TYPES), len(markers)), np.float32)
+    for t, name in enumerate(CELL_TYPES):
+        pos = set(TYPE_POSITIVE_MARKERS[name]) | {"DAPI"}
+        for j, m in enumerate(markers):
+            if m in pos:
+                sig[t, j] = 1.0
+    return sig
+
+
+def panel_label_lut(panel: str) -> np.ndarray:
+    """(18,) int32 LUT: global CELL_TYPES index -> this panel's head
+    class index; types the head cannot express map to its Others class
+    (exactly what the reference's per-panel training data implies —
+    every head has an Others slot, vocab.PANEL_CLASS_MAPS)."""
+    index_by_name = {
+        name: idx for idx, name in PANEL_CLASS_MAPS[panel].items()
+    }
+    oth = others_index(panel)
+    return np.asarray(
+        [index_by_name.get(name, oth) for name in CELL_TYPES], np.int32
+    )
 
 
 def make_typed_cells(
@@ -271,6 +312,93 @@ def calibrate_panel(
                              history=history)
 
 
+def calibrate_ensemble(
+    panels,
+    out_dir: str,
+    n_cells: int = 4096,
+    image_hw: tuple[int, int] = (1024, 1024),
+    epochs: int = 24,
+    seed: int = 0,
+    learning_rate: float = 1e-3,
+    batch_size: int = 256,
+    dtype: str = "bfloat16",
+    radii: tuple[int, ...] = (5, 8, 11),
+    mesh=None,
+    config=None,
+    logger=None,
+) -> dict[str, CalibrationResult]:
+    """Fine-tune EVERY listed panel head on shared multi-panel fixtures.
+
+    Fixtures are planted over the GLOBAL 18-type vocabulary on the
+    panels' union marker set, preprocessed ONCE through the production
+    front end at union width; each head then trains on its own channel
+    slice with its own class labels (global type -> head class via
+    ``panel_label_lut``, off-panel types -> Others). This is the
+    distribution a real multi-panel slide feeds the ensemble, so a run
+    over such a fixture exercises ``merge_by_voting``'s multi-head
+    branches (reference model.py:481-639) with peaked, representative
+    softmax — not the all-Others degenerate case of random weights.
+    """
+    from ribca_tpu.models.train import TrainConfig, Trainer
+
+    panels = list(panels)
+    markers = union_markers(panels)
+    sig = global_signatures(markers)
+    n_types = sig.shape[0]
+    chan_idx = {
+        p: np.asarray([markers.index(m) for m in PANELS[p]], np.int64)
+        for p in panels
+    }
+    h, w = image_hw
+    per = max(n_cells // len(radii), 8)
+
+    xs, ys = [], []
+    for i, radius in enumerate(radii):
+        mask, types = make_typed_cells(h, w, per, n_types, radius=radius,
+                                       seed=seed + i)
+        image = typed_image(mask, types, sig, seed=seed + i)
+        xi, yi = extract_labeled_patches(image, mask, types, config=config,
+                                         mesh=mesh)
+        xs.append(xi)
+        ys.append(yi)
+    mask, types = make_typed_cells(
+        h // 2, w // 2, max(per // 2, 8), n_types,
+        radius=radii[len(radii) // 2] + 1, seed=seed + len(radii),
+    )
+    image = typed_image(mask, types, sig, seed=seed + len(radii))
+    x_ho, y_ho = extract_labeled_patches(image, mask, types, config=config,
+                                         mesh=mesh)
+
+    x_tr = np.concatenate(xs, axis=0)
+    y_tr = np.concatenate(ys, axis=0)
+    order = np.random.default_rng(seed).permutation(len(x_tr))
+    x_tr, y_tr = x_tr[order], y_tr[order]
+
+    os.makedirs(out_dir, exist_ok=True)
+    results: dict[str, CalibrationResult] = {}
+    for panel in panels:
+        lut = panel_label_lut(panel)
+        trainer = Trainer(
+            panel,
+            TrainConfig(learning_rate=learning_rate,
+                        batch_size=batch_size, dtype=dtype, seed=seed),
+            mesh=mesh,
+        )
+        history = trainer.fit(x_tr[:, chan_idx[panel]], lut[y_tr],
+                              epochs=epochs, log_every=0, logger=logger)
+        acc = trainer.evaluate(x_ho[:, chan_idx[panel]], lut[y_ho])
+        path = os.path.join(out_dir, f"{CLASSIFIER_BASENAME[panel]}.npz")
+        trainer.save(path)
+        if logger is not None:
+            logger.log(
+                f"calibrated {panel} (ensemble fixture): holdout acc "
+                f"{acc:.3f} -> {path}"
+            )
+        results[panel] = CalibrationResult(path=path, holdout_accuracy=acc,
+                                           history=history)
+    return results
+
+
 def main(argv=None):
     import argparse
 
@@ -280,10 +408,21 @@ def main(argv=None):
     p.add_argument("--out-dir", required=True)
     p.add_argument("--panels", nargs="+", default=["immune_base"],
                    choices=sorted(PANELS))
+    p.add_argument("--ensemble", action="store_true",
+                   help="train all --panels heads on SHARED union-marker "
+                        "fixtures (multi-panel voting distributions)")
     p.add_argument("--n-cells", type=int, default=4096)
     p.add_argument("--epochs", type=int, default=24)
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
+    if args.ensemble:
+        results = calibrate_ensemble(args.panels, args.out_dir,
+                                     n_cells=args.n_cells,
+                                     epochs=args.epochs, seed=args.seed)
+        for panel, r in results.items():
+            print(f"{panel}: holdout accuracy {r.holdout_accuracy:.3f} "
+                  f"-> {r.path}")
+        return
     for panel in args.panels:
         r = calibrate_panel(panel, args.out_dir, n_cells=args.n_cells,
                             epochs=args.epochs, seed=args.seed)

@@ -314,13 +314,14 @@ def knn_indices_binned(
     coords: np.ndarray,
     k: int,
     mesh=None,
-    q_block: int = Q_BLOCK,
+    q_block: int | None = None,
     bin_margin: float | None = None,
 ) -> np.ndarray | None:
     """Grid-binned exact kNN; returns (N, k) indices, or None when the
     layout defeats the uniform grid (caller falls back). With the
     default ``bin_margin=None`` the margin ladder ``BIN_MARGINS`` is
-    tried in order."""
+    tried in order. ``q_block=None`` auto-sizes the query block (up to
+    ``4*Q_BLOCK``, memory-bounded); pass an int to pin it."""
     if bin_margin is None:
         for m in BIN_MARGINS:
             out = knn_indices_binned(coords, k, mesh, q_block, m)
@@ -332,8 +333,7 @@ def knn_indices_binned(
     if k <= 0:
         return np.zeros((n, 0), dtype=np.int64)
     mesh = mesh if mesh is not None else get_mesh()
-    su = _binned_setup(coords, k, mesh, bin_margin,
-                       q_block if q_block != Q_BLOCK else None)
+    su = _binned_setup(coords, k, mesh, bin_margin, q_block)
     if su is None:
         return None
 

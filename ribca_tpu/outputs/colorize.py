@@ -43,47 +43,56 @@ def colorize_image(
     colors,
     tissue_regions: dict | None = None,
     tissue_colors=None,
+    want_labels: bool = True,
 ):
     """Render all maps for one image.
 
     Returns dict with keys: cell_type_rgb (H,W,3 u8), confidence_rgb,
     cell_type_labels (H,W u8, type+1), tissue_rgb / tissue_labels when
-    ``tissue_regions`` is given.
+    ``tissue_regions`` is given. The integer label maps exist only for
+    the GUI napari layers (model.py:845-858); ``want_labels=False``
+    skips painting them (script runs never read them).
     """
     max_id = int(mask.max())
     n = max_id + 1
 
     rgb_table = np.zeros((n, 3), dtype=np.uint8)
     conf_table = np.zeros((n, 3), dtype=np.uint8)
-    label_table = np.zeros(n, dtype=np.uint8)
 
     palette = np.asarray(colors, dtype=np.uint8)
     rgb_table[cell_ids] = palette[type_ids]
     conf_table[cell_ids] = viridis_lut(confidence, reject_gray=GRAY)
-    label_table[cell_ids] = (np.asarray(type_ids) + 1).astype(np.uint8)
 
     out = {
         "cell_type_rgb": _lut_paint(mask, rgb_table),
         "confidence_rgb": _lut_paint(mask, conf_table),
-        "cell_type_labels": _lut_paint(mask, label_table),
     }
+    if want_labels:
+        label_table = np.zeros(n, dtype=np.uint8)
+        label_table[cell_ids] = (np.asarray(type_ids) + 1).astype(np.uint8)
+        out["cell_type_labels"] = _lut_paint(mask, label_table)
 
     if tissue_regions is not None and tissue_colors is not None:
         tissue_palette = np.asarray(tissue_colors, dtype=np.uint8)
         n_regions = len(tissue_palette) - 1  # last entry is the gray slot
         t_rgb = np.zeros((n, 3), dtype=np.uint8)
         t_lab = np.zeros(n, dtype=np.uint8)
-        for cid in cell_ids:
-            region = tissue_regions[int(cid)]
-            if region < 0:
-                # HDBSCAN noise: paint the reserved gray, give it a label
-                # distinct from both background (0) and real regions
-                t_rgb[cid] = GRAY
-                t_lab[cid] = n_regions + 1
-            else:
-                t_rgb[cid] = tissue_palette[region]
-                t_lab[cid] = region + 1
+        ids = np.asarray(cell_ids, dtype=np.int64)
+        regions = np.asarray(
+            [tissue_regions[int(c)] for c in ids], dtype=np.int64
+        )
+        # HDBSCAN noise (region < 0): the reserved gray, with a label
+        # distinct from both background (0) and real regions
+        noise = regions < 0
+        t_rgb[ids] = np.where(
+            noise[:, None], np.asarray(GRAY, np.uint8),
+            tissue_palette[np.where(noise, 0, regions)],
+        )
+        t_lab[ids] = np.where(noise, n_regions + 1, regions + 1).astype(
+            np.uint8
+        )
         out["tissue_rgb"] = _lut_paint(mask, t_rgb)
-        out["tissue_labels"] = _lut_paint(mask, t_lab)
+        if want_labels:
+            out["tissue_labels"] = _lut_paint(mask, t_lab)
 
     return out

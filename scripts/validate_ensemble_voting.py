@@ -1,0 +1,190 @@
+"""Full-ensemble voting validation with representative distributions.
+
+Closes the last residue of VERDICT r2 weak #5 ("bench runs with random
+weights -> unrepresentative voting"): calibrate EVERY panel head on
+shared union-marker fixtures (models/calibrate.calibrate_ensemble), run
+the COMPLETE pipeline on a typed slide whose marker file matches all
+five panels, and measure planted-type accuracy through the flagship
+merge branch (immune x3 + structure + nerve — reference
+model.py:481-639 branch 1, the one the published tool runs on a full
+antibody panel).
+
+Run on the TPU host (idle — calibration fine-tunes five ViTs, the
+largest 21M params):
+
+    python scripts/validate_ensemble_voting.py
+
+Weights cache in $RIBCA_ENSEMBLE_CAL_DIR (default
+/tmp/ribca_ensemble_cal); delete the dir to retrain. Prints per-head
+holdout accuracy, end-to-end planted-type accuracy (overall and
+per-type recall), and wall seconds. Exit nonzero if overall accuracy on
+expressible types falls below --min-acc (default 0.3, ~5x the 18-type
+chance rate — a collapse detector, not a quality bar; measured numbers
+live in BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import glob
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+ALL_PANELS = (
+    "immune_base", "immune_extended", "immune_full", "structure",
+    "nerve_cell",
+)
+CAL_DIR = os.environ.get("RIBCA_ENSEMBLE_CAL_DIR", "/tmp/ribca_ensemble_cal")
+FIXTURE_HW = 2048
+FIXTURE_CELLS = 8000
+
+
+def ensure_weights(epochs: int, seed: int) -> None:
+    from ribca_tpu.models.calibrate import calibrate_ensemble
+    from ribca_tpu.models.registry import CLASSIFIER_BASENAME
+
+    missing = [
+        p for p in ALL_PANELS
+        if not os.path.exists(
+            os.path.join(CAL_DIR, f"{CLASSIFIER_BASENAME[p]}.npz")
+        )
+    ]
+    if not missing:
+        print(f"calibrated weights cached in {CAL_DIR}")
+        return
+    t0 = time.perf_counter()
+    results = calibrate_ensemble(ALL_PANELS, CAL_DIR, n_cells=4096,
+                                 epochs=epochs, seed=seed)
+    dt = time.perf_counter() - t0
+    for panel, r in results.items():
+        print(f"  calibrated {panel}: holdout acc {r.holdout_accuracy:.3f}")
+    print(f"calibration wall: {dt:.1f}s -> {CAL_DIR}")
+
+
+def make_fixture(dirpath: str, seed: int):
+    from PIL import Image
+
+    from ribca_tpu.io import write_tiff
+    from ribca_tpu.models.calibrate import (
+        global_signatures,
+        make_typed_cells,
+        typed_image,
+        union_markers,
+    )
+
+    os.makedirs(dirpath, exist_ok=True)
+    markers = union_markers(ALL_PANELS)
+    img_path = os.path.join(dirpath, "slide.tif")
+    mask_path = os.path.join(dirpath, "mask.png")
+    types_path = os.path.join(dirpath, "types.npy")
+    marker_path = os.path.join(dirpath, "markers.txt")
+    with open(marker_path, "w") as f:
+        f.write("\n".join(markers) + "\n")
+    if not (os.path.exists(img_path) and os.path.exists(mask_path)
+            and os.path.exists(types_path)):
+        sig = global_signatures(markers)
+        mask, types = make_typed_cells(
+            FIXTURE_HW, FIXTURE_HW, FIXTURE_CELLS, sig.shape[0],
+            radius=8, seed=seed,
+        )
+        img = typed_image(mask, types, sig, seed=seed)
+        write_tiff(img_path, img)
+        Image.fromarray(mask.astype(np.uint16)).save(mask_path)
+        np.save(types_path, types)
+    return marker_path, img_path, mask_path, types_path
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=8)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--min-acc", type=float, default=0.3)
+    args = ap.parse_args()
+
+    from ribca_tpu import cli
+    from ribca_tpu.panels.parser import MarkerParser
+    from ribca_tpu.panels.vocab import CELL_TYPES
+    from ribca_tpu.utils.config import AnnotatorConfig
+
+    ensure_weights(args.epochs, args.seed)
+    marker_path, img_path, mask_path, types_path = make_fixture(
+        os.path.join(CAL_DIR, "fixture"), args.seed + 100,
+    )
+
+    # the union marker file must parse as ALL five panels (strict)
+    parser = MarkerParser(strict=True)
+    parser.parse(marker_path)
+    matched = {
+        "immune_base": parser.immune_base,
+        "immune_extended": parser.immune_extended,
+        "immune_full": parser.immune_full,
+        "structure": parser.struct,
+        "nerve_cell": parser.nerve,
+    }
+    print(f"panels matched: {matched}")
+    assert all(matched.values()), "union marker file must match all panels"
+
+    run_dir = tempfile.mkdtemp(prefix="ribca_ensemble_val_")
+    config = AnnotatorConfig(
+        marker_file=marker_path, image_path=img_path, mask_path=mask_path,
+        main_dir=run_dir, batch_id="ensval", strict=True, infer=False,
+        models_dir=CAL_DIR, allow_random_weights=False,
+    )
+    t0 = time.perf_counter()
+    cli.run(config, bs=config.batch_size, n_regions=config.n_regions)
+    wall = time.perf_counter() - t0
+
+    types = np.load(types_path)
+    names = list(CELL_TYPES)
+    per_type_total = np.zeros(len(names), np.int64)
+    per_type_hit = np.zeros(len(names), np.int64)
+    predicted: dict[int, str] = {}
+    for path in glob.glob(os.path.join(run_dir, "results",
+                                       "*_annotation_*.csv")):
+        with open(path) as f:
+            for row in csv.DictReader(f):
+                predicted[int(row["Cell Index"])] = row["Cell Type"]
+    for cid, pred in predicted.items():
+        if not (1 <= cid <= len(types)):
+            continue
+        t = int(types[cid - 1])
+        per_type_total[t] += 1
+        per_type_hit[t] += pred == names[t]
+    shutil.rmtree(run_dir, ignore_errors=True)
+
+    total = per_type_total.sum()
+    hit = per_type_hit.sum()
+    # "Others" is unexpressible by design (no marker); exclude it from
+    # the pass criterion but report it
+    express = [i for i, n in enumerate(names) if n != "Others"]
+    exp_total = per_type_total[express].sum()
+    exp_hit = per_type_hit[express].sum()
+
+    print(f"\nend-to-end wall: {wall:.1f}s over {total} annotated cells")
+    print(f"overall accuracy:      {hit / max(total, 1):.3f}")
+    acc = exp_hit / max(exp_total, 1)
+    print(f"expressible accuracy:  {acc:.3f}  (chance {1 / 18:.3f})")
+    print("per-type recall:")
+    for i, name in enumerate(names):
+        if per_type_total[i]:
+            print(f"  {name:28s} {per_type_hit[i] / per_type_total[i]:.3f} "
+                  f"({per_type_total[i]} cells)")
+    if acc < args.min_acc:
+        print(f"FAILED: expressible accuracy {acc:.3f} < {args.min_acc}")
+        return 1
+    print("PASS — full-ensemble voting ran with representative "
+          "distributions")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -24,31 +24,17 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 # persistent XLA compile cache: the suite compiles dozens of programs and
 # CPU compiles are slow; cached across pytest runs. Keyed on the host CPU
-# feature flags like utils/cache.py: XLA:CPU loads AOT executables
-# compiled on a different machine generation with only a warning — and
-# they can run orders of magnitude slower or abort outright (observed:
-# "machine feature +prefer-no-scatter is not supported on the host"
-# E-logs followed by a fatal abort inside a jitted train step).
-
-
-def _host_fp():
-    import hashlib
-
-    try:
-        with open("/proc/cpuinfo") as f:
-            for line in f:
-                if line.startswith("flags"):
-                    return hashlib.sha1(line.encode()).hexdigest()[:10]
-    except Exception:
-        pass
-    return "generic"
-
+# fingerprint (the library's own scheme — utils/cache.py documents why:
+# XLA:CPU loads AOT executables compiled on a different machine generation
+# with only a warning, and they can run orders of magnitude slower or
+# abort outright).
+from ribca_tpu.utils.cache import host_fingerprint  # noqa: E402
 
 jax.config.update(
     "jax_compilation_cache_dir",
     os.path.join(
         os.environ.get("RIBCA_TEST_CACHE", "/tmp/ribca_jax_cache"),
-        _host_fp(),
+        host_fingerprint(),
     ),
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

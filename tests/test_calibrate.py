@@ -9,12 +9,20 @@ import pytest
 
 from ribca_tpu.models.calibrate import (
     calibrate_panel,
+    global_signatures,
     make_typed_cells,
+    panel_label_lut,
     panel_signatures,
     typed_image,
+    union_markers,
 )
 from ribca_tpu.models.registry import ModelRegistry
-from ribca_tpu.panels.vocab import PANEL_CLASS_MAPS, PANELS
+from ribca_tpu.panels.vocab import (
+    CELL_TYPES,
+    PANEL_CLASS_MAPS,
+    PANELS,
+    others_index,
+)
 
 
 def test_panel_signatures_rows():
@@ -31,11 +39,69 @@ def test_panel_signatures_rows():
     assert sig[others].sum() == 1             # DAPI only
 
 
+def test_union_markers_and_global_signatures():
+    panels = ("immune_full", "structure", "nerve_cell")
+    markers = union_markers(panels)
+    # every panel's marker list is a subset, no duplicates, stable order
+    for p in panels:
+        assert set(PANELS[p]) <= set(markers)
+    assert len(markers) == len(set(markers))
+    assert markers[:len(PANELS["immune_full"])] == PANELS["immune_full"]
+
+    sig = global_signatures(markers)
+    assert sig.shape == (len(CELL_TYPES), len(markers))
+    assert (sig[:, markers.index("DAPI")] == 1).all()
+    nerve = CELL_TYPES.index("Nerve cell")
+    assert sig[nerve, markers.index("GFAP")] == 1
+    assert sig[CELL_TYPES.index("Others")].sum() == 1  # DAPI only
+
+
+def test_panel_label_lut_maps_offpanel_to_others():
+    for panel in PANELS:
+        lut = panel_label_lut(panel)
+        assert lut.shape == (len(CELL_TYPES),)
+        name_of = PANEL_CLASS_MAPS[panel]
+        oth = others_index(panel)
+        for t, name in enumerate(CELL_TYPES):
+            if name in name_of.values():
+                assert name_of[int(lut[t])] == name
+            else:
+                assert int(lut[t]) == oth
+    # a structure-only type lands on the immune head's Others slot
+    lut = panel_label_lut("immune_base")
+    assert int(lut[CELL_TYPES.index("Stroma cell")]) == others_index(
+        "immune_base"
+    )
+
+
 def test_typed_fixture_shapes():
     mask, types = make_typed_cells(128, 160, 40, n_types=2, seed=1)
     assert mask.max() == 40 and len(types) == 40
     img = typed_image(mask, types, panel_signatures("nerve_cell"), seed=1)
     assert img.shape == (3, 128, 160) and img.dtype == np.uint16
+
+
+def test_calibrate_ensemble_machinery(tmp_path):
+    """Shared-fixture multi-head path on the CPU mesh (machinery only;
+    convergence is validated on TPU by
+    scripts/validate_ensemble_voting.py): union fixtures extract once,
+    each head trains on its channel slice + mapped labels, and every
+    checkpoint loads through the registry without the random fallback."""
+    from ribca_tpu.models.calibrate import calibrate_ensemble
+
+    out = str(tmp_path / "weights")
+    panels = ("nerve_cell",)  # tiniest head; union path is panel-generic
+    results = calibrate_ensemble(
+        panels, out, n_cells=48, image_hw=(160, 160), epochs=1,
+        batch_size=16, dtype="float32", radii=(5, 7), seed=0,
+    )
+    assert set(results) == set(panels)
+    for r in results.values():
+        assert 0.0 <= r.holdout_accuracy <= 1.0
+        assert len(r.history) == 1 and np.isfinite(r.history[0][0])
+    reg = ModelRegistry(out, allow_random=False)
+    assert reg.classifier_params("nerve_cell") is not None
+    assert not reg.used_random
 
 
 def test_calibrate_nerve_cell_machinery(tmp_path):

@@ -59,7 +59,8 @@ def test_colorize_matches_per_cell_paint(rng):
     type_ids = np.asarray([0, 1, 2, 0, 1, 2])
     conf = np.asarray([0.9, -1.0, 0.5, 0.2, 0.7, -1.0], np.float32)
     colors = get_colors(3)
-    regions = {int(i): int(i % 2) for i in ids}
+    # cell 5 is HDBSCAN noise (region -1): reserved gray + distinct label
+    regions = {int(i): (-1 if i == 5 else int(i % 2)) for i in ids}
     tissue_colors = get_colors(3)
 
     maps = colorize_image(mask, ids, type_ids, conf, colors,
@@ -73,6 +74,7 @@ def test_colorize_matches_per_cell_paint(rng):
     want_lab = np.zeros((h, w), np.uint8)
     want_t = np.zeros((h, w, 3), np.uint8)
     want_tl = np.zeros((h, w), np.uint8)
+    n_regions = len(tissue_colors) - 1
     for j, cid in enumerate(ids):
         rr, cc = np.nonzero(mask == cid)
         want_rgb[rr, cc] = colors[type_ids[j]]
@@ -80,14 +82,26 @@ def test_colorize_matches_per_cell_paint(rng):
             number_to_rgb(float(conf[j])) if conf[j] > 0 else [192, 192, 192]
         )
         want_lab[rr, cc] = type_ids[j] + 1
-        want_t[rr, cc] = tissue_colors[regions[int(cid)]]
-        want_tl[rr, cc] = regions[int(cid)] + 1
+        if regions[int(cid)] < 0:
+            want_t[rr, cc] = [192, 192, 192]
+            want_tl[rr, cc] = n_regions + 1
+        else:
+            want_t[rr, cc] = tissue_colors[regions[int(cid)]]
+            want_tl[rr, cc] = regions[int(cid)] + 1
 
     np.testing.assert_array_equal(maps["cell_type_rgb"], want_rgb)
     np.testing.assert_array_equal(maps["confidence_rgb"], want_conf)
     np.testing.assert_array_equal(maps["cell_type_labels"], want_lab)
     np.testing.assert_array_equal(maps["tissue_rgb"], want_t)
     np.testing.assert_array_equal(maps["tissue_labels"], want_tl)
+
+    # script runs skip the GUI-only label maps entirely
+    lean = colorize_image(mask, ids, type_ids, conf, colors,
+                          tissue_regions=regions,
+                          tissue_colors=tissue_colors, want_labels=False)
+    assert "cell_type_labels" not in lean and "tissue_labels" not in lean
+    np.testing.assert_array_equal(lean["cell_type_rgb"], want_rgb)
+    np.testing.assert_array_equal(lean["tissue_rgb"], want_t)
 
 
 def test_export_csv_golden(tmp_path):

@@ -53,10 +53,36 @@ def test_warm_cache_counts_programs(cfg, tmp_path):
     assert n == 2 + 2 + 2
     # backend compiles may be FEWER than n: the conftest's persistent
     # test cache absorbs repeat lowerings across pytest runs (cache hits
-    # emit no backend_compile event on CPU)
+    # emit no backend_compile event on CPU). The listener itself is
+    # verified by test_compile_listener_counts_fresh_program.
     stats = a.logger.compile_stats
     assert stats["xla.compile_count"] >= 0
     assert stats["xla.compile_secs"] >= 0
+
+
+def test_compile_listener_counts_fresh_program(tmp_path):
+    """The accounting itself: with the persistent cache bypassed, a
+    brand-new program MUST raise the counters (guards against the
+    monitoring-event listener silently breaking, in which case the
+    cache-tolerant >= 0 assertions above would never notice)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ribca_tpu.utils.logging import Logger
+
+    saved = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", None)
+    try:
+        logger = Logger(str(tmp_path))
+        # fresh callable -> fresh trace; cache off -> real backend compile
+        out = jax.jit(lambda x: x * 2.0 + 1.0)(
+            jnp.arange(5, dtype=jnp.float32)
+        )
+        assert float(out[4]) == 9.0
+        stats = logger.compile_stats
+        assert stats["xla.compile_count"] >= 1
+    finally:
+        jax.config.update("jax_compilation_cache_dir", saved)
 
 
 def test_trace_records_compiles(cfg, tmp_path):
