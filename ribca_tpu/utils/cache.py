@@ -29,16 +29,27 @@ _configured = False
 
 
 def host_fingerprint() -> str:
-    """Short hash of this host's CPU feature flags. XLA:CPU loads cached
-    AOT executables compiled on a DIFFERENT machine generation with only
-    a warning — and they can run orders of magnitude slower (observed:
-    a sub-second ensemble flush taking 340 s from a stale cache).
-    Keying the cache dir on the feature set sidesteps that."""
+    """Short hash of this host's CPU identity (family/model/stepping +
+    feature flags). XLA:CPU loads cached AOT executables compiled on a
+    DIFFERENT machine generation with only a warning — and they can run
+    orders of magnitude slower (observed: a sub-second ensemble flush
+    taking 340 s from a stale cache) or abort outright. Flags alone are
+    NOT enough: LLVM tuning features like ``prefer-no-scatter`` key off
+    the CPU *model*, so two fleet hosts with identical flags lines but
+    different model/stepping collide on a flags-only hash (observed:
+    machine-feature-mismatch E-logs from a same-flags cache dir)."""
     try:
+        ident = []
         with open("/proc/cpuinfo") as f:
             for line in f:
+                if line.startswith(
+                    ("flags", "cpu family", "model", "stepping")
+                ):
+                    ident.append(line)
                 if line.startswith("flags"):
-                    return hashlib.sha1(line.encode()).hexdigest()[:10]
+                    break  # one physical package is enough
+        if ident:
+            return hashlib.sha1("".join(ident).encode()).hexdigest()[:10]
     except Exception:
         pass
     return "generic"
