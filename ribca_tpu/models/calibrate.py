@@ -326,6 +326,7 @@ def calibrate_ensemble(
     mesh=None,
     config=None,
     logger=None,
+    skip_existing: bool = False,
 ) -> dict[str, CalibrationResult]:
     """Fine-tune EVERY listed panel head on shared multi-panel fixtures.
 
@@ -342,6 +343,20 @@ def calibrate_ensemble(
     from ribca_tpu.models.train import TrainConfig, Trainer
 
     panels = list(panels)
+    paths = {
+        p: os.path.join(out_dir, f"{CLASSIFIER_BASENAME[p]}.npz")
+        for p in panels
+    }
+    if skip_existing and all(os.path.exists(paths[p]) for p in panels):
+        # resume support: nothing to train, so skip the minutes of
+        # fixture extraction too
+        if logger is not None:
+            logger.log("calibrate_ensemble: all heads exist, kept as-is")
+        return {
+            p: CalibrationResult(path=paths[p],
+                                 holdout_accuracy=float("nan"), history=[])
+            for p in panels
+        }
     markers = union_markers(panels)
     sig = global_signatures(markers)
     n_types = sig.shape[0]
@@ -378,6 +393,16 @@ def calibrate_ensemble(
     results: dict[str, CalibrationResult] = {}
     for panel in panels:
         lut = panel_label_lut(panel)
+        path = paths[panel]
+        if skip_existing and os.path.exists(path):
+            # resume support: a multi-head calibration is minutes per
+            # head; an interrupted run keeps its finished heads
+            if logger is not None:
+                logger.log(f"calibrated {panel}: kept existing {path}")
+            results[panel] = CalibrationResult(
+                path=path, holdout_accuracy=float("nan"), history=[]
+            )
+            continue
         trainer = Trainer(
             panel,
             TrainConfig(learning_rate=learning_rate,
@@ -387,7 +412,6 @@ def calibrate_ensemble(
         history = trainer.fit(x_tr[:, chan_idx[panel]], lut[y_tr],
                               epochs=epochs, log_every=0, logger=logger)
         acc = trainer.evaluate(x_ho[:, chan_idx[panel]], lut[y_ho])
-        path = os.path.join(out_dir, f"{CLASSIFIER_BASENAME[panel]}.npz")
         trainer.save(path)
         if logger is not None:
             logger.log(

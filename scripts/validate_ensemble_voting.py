@@ -63,7 +63,8 @@ def ensure_weights(epochs: int, seed: int) -> None:
         return
     t0 = time.perf_counter()
     results = calibrate_ensemble(ALL_PANELS, CAL_DIR, n_cells=4096,
-                                 epochs=epochs, seed=seed)
+                                 epochs=epochs, seed=seed,
+                                 skip_existing=True)
     dt = time.perf_counter() - t0
     for panel, r in results.items():
         print(f"  calibrated {panel}: holdout acc {r.holdout_accuracy:.3f}")

@@ -104,6 +104,28 @@ def test_calibrate_ensemble_machinery(tmp_path):
     assert not reg.used_random
 
 
+def test_calibrate_ensemble_skip_existing(tmp_path):
+    """Resume path: existing head checkpoints are kept untouched and,
+    when every head exists, fixture extraction is skipped entirely."""
+    from ribca_tpu.models.calibrate import CLASSIFIER_BASENAME
+    from ribca_tpu.models.calibrate import calibrate_ensemble
+
+    out = tmp_path / "weights"
+    out.mkdir()
+    path = out / f"{CLASSIFIER_BASENAME['nerve_cell']}.npz"
+    path.write_bytes(b"sentinel")
+
+    results = calibrate_ensemble(
+        ("nerve_cell",), str(out), n_cells=48, image_hw=(160, 160),
+        epochs=1, batch_size=16, dtype="float32", radii=(5, 7), seed=0,
+        skip_existing=True,
+    )
+    assert results["nerve_cell"].path == str(path)
+    assert np.isnan(results["nerve_cell"].holdout_accuracy)
+    assert results["nerve_cell"].history == []
+    assert path.read_bytes() == b"sentinel"  # never retrained/overwritten
+
+
 def test_calibrate_nerve_cell_machinery(tmp_path):
     """Machinery only on the CPU mesh: ViTs need ~100+ steps before the
     loss moves (measured — a 20-step nerve_cell run stays at ln 2), and a
