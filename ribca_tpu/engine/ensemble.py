@@ -81,6 +81,17 @@ class _HeadSpec:
 _PROGRAM_CACHE: dict = {}
 _PROGRAM_CACHE_CAP = 64
 
+# Cast+uploaded device parameters shared across runners: a new Annotator
+# per job (the batch CLI loop, the GUI, the annotation server, bench warm
+# runs) used to re-cast and re-upload every head's weights (~0.5-0.9 s per
+# job measured on the 1-core host — the per-leaf cast dispatches dominate,
+# not the wire bytes). Keyed on the registry's weight-file fingerprints
+# (path+mtime+size, so replacing a checkpoint on disk invalidates), the
+# compute dtype, and the mesh. Capped small: each entry pins a full
+# ensemble's params in HBM (~25-350 MB depending on heads + imputers).
+_DEVICE_PARAMS_CACHE: dict = {}
+_DEVICE_PARAMS_CACHE_CAP = 2
+
 
 def _mesh_signature(mesh) -> tuple:
     return (
@@ -169,6 +180,24 @@ class EnsembleRunner:
         else:
             self.forward, self._fn = cached
         self._device_params = None
+        # device-params cache key: every loaded weight set must have a
+        # registry fingerprint, else opt out (weights of unknown origin)
+        fps = getattr(registry, "fingerprints", {})
+        sig = []
+        for s in self.specs:
+            cls_fp = fps.get(f"cls:{s.panel}")
+            mae_fp = (
+                fps.get(f"mae:{s.panel}") if s.imputer is not None else None
+            )
+            if cls_fp is None or (s.imputer is not None and mae_fp is None):
+                sig = None
+                break
+            sig.append((s.panel, cls_fp, mae_fp))
+        self._weights_key = (
+            (tuple(sig), jnp.dtype(self.dtype).name,
+             _mesh_signature(self.mesh))
+            if sig is not None else None
+        )
 
     def _program_signature(self) -> tuple:
         spec_sig = tuple(
@@ -248,11 +277,22 @@ class EnsembleRunner:
 
     def _params_on_device(self):
         if self._device_params is None:
+            cached = (
+                _DEVICE_PARAMS_CACHE.get(self._weights_key)
+                if self._weights_key is not None else None
+            )
+            if cached is not None:
+                self._device_params = cached
+                return cached
             rep = replicated_sharding(self.mesh)
             put = lambda t: jax.device_put(  # noqa: E731
                 self._cast_params(t), rep
             )
             self._device_params = (put(self.params), put(self.imputer_params))
+            if self._weights_key is not None:
+                if len(_DEVICE_PARAMS_CACHE) >= _DEVICE_PARAMS_CACHE_CAP:
+                    _DEVICE_PARAMS_CACHE.pop(next(iter(_DEVICE_PARAMS_CACHE)))
+                _DEVICE_PARAMS_CACHE[self._weights_key] = self._device_params
         return self._device_params
 
     def run_chunk(self, patches_full) -> dict:

@@ -49,6 +49,11 @@ class ModelRegistry:
         self.logger = logger
         self.allow_random = allow_random
         self._cache: dict[str, dict] = {}
+        # hashable identity of each loaded weight set ("file" + stat, or
+        # "random"): lets the engine cache cast+uploaded device params
+        # across Annotator instances (engine/ensemble.py) without risking
+        # stale weights when a checkpoint file is replaced on disk
+        self.fingerprints: dict[str, tuple] = {}
         # set when any component fell back to random init; surfaced as a
         # RANDOM_WEIGHTS marker in log.txt and trace.json so such runs
         # cannot be mistaken for real ones after the fact
@@ -74,12 +79,19 @@ class ModelRegistry:
         self._log(msg)
         print(msg, file=sys.stderr)
 
-    def _resolve(self, basename: str, is_mae: bool):
+    @staticmethod
+    def _file_fingerprint(path: str) -> tuple:
+        st = os.stat(path)
+        return ("file", os.path.abspath(path), st.st_mtime_ns, st.st_size)
+
+    def _resolve(self, basename: str, is_mae: bool, fp_key: str):
         npz = os.path.join(self.models_dir, f"{basename}.npz")
         if os.path.exists(npz):
+            self.fingerprints[fp_key] = self._file_fingerprint(npz)
             return store.load_params(npz)
         pth = os.path.join(self.models_dir, f"{basename}.pth")
         if os.path.exists(pth):
+            self.fingerprints[fp_key] = self._file_fingerprint(pth)
             sd = load_torch_checkpoint(pth)
             params = (
                 convert_mae_state_dict(sd) if is_mae
@@ -99,12 +111,14 @@ class ModelRegistry:
         key = f"cls:{panel}"
         if key in self._cache:
             return self._cache[key]
-        params = self._resolve(CLASSIFIER_BASENAME[panel], is_mae=False)
+        params = self._resolve(CLASSIFIER_BASENAME[panel], is_mae=False,
+                               fp_key=key)
         if params is None:
             if not self.allow_random:
                 self._log(f"{panel} classifier weights not found")
                 return None
             self._warn_random(f"{panel} classifier")
+            self.fingerprints[key] = ("random", CLASSIFIER_BASENAME[panel])
             params = init_params_np(build_panel_model(panel), seed=0)
         self._cache[key] = params
         return params
@@ -114,12 +128,15 @@ class ModelRegistry:
         if key in self._cache:
             return self._cache[key]
         params = self._resolve(f"{CLASSIFIER_BASENAME[panel]}_impute",
-                               is_mae=True)
+                               is_mae=True, fp_key=key)
         if params is None:
             if not self.allow_random:
                 self._log(f"{panel} imputer weights not found")
                 return None
             self._warn_random(f"{panel} imputer")
+            self.fingerprints[key] = (
+                "random", f"{CLASSIFIER_BASENAME[panel]}_impute"
+            )
             model = build_imputer_model(panel)
             import jax
             import numpy as np

@@ -124,3 +124,49 @@ def test_imputation_path_shapes(tmp_marker_file, tmp_path, rng):
     arr = np.asarray(probs["immune_base"])
     assert arr.shape == (n, 5)
     np.testing.assert_allclose(arr.sum(axis=1), 1.0, atol=1e-5)
+
+
+def test_device_params_shared_across_runners(tmp_path):
+    """Two Annotator-equivalent runners over the SAME weights dir share
+    one cast+uploaded device param tree (per-job re-upload eliminated);
+    replacing the checkpoint file on disk invalidates the cache."""
+    import os
+    import time
+
+    import jax
+
+    from ribca_tpu.models.calibrate import panel_signatures  # noqa: F401
+    from ribca_tpu.models.train import TrainConfig, Trainer
+
+    # write a real npz so the registry fingerprints a file (random-weight
+    # fallbacks share too, but the file path is the production case)
+    d = str(tmp_path)
+    trainer = Trainer("immune_base", TrainConfig(seed=0), mesh=get_mesh())
+    npz = os.path.join(d, "immune_base.npz")
+    trainer.save(npz)
+
+    def make_runner():
+        p = MarkerParser(strict=True)
+        mf = tmp_path / "markers.txt"
+        mf.write_text("\n".join(PANELS["immune_base"]) + "\n")
+        p.parse(str(mf))
+        return EnsembleRunner(p, ModelRegistry(d), n_channels=7,
+                              infer=False, dtype=jnp.float32,
+                              mesh=get_mesh())
+
+    r1, r2 = make_runner(), make_runner()
+    assert r1 is not r2 and r1._weights_key == r2._weights_key
+    p1, _ = r1._params_on_device()
+    p2, _ = r2._params_on_device()
+    l1 = jax.tree_util.tree_leaves(p1)[0]
+    l2 = jax.tree_util.tree_leaves(p2)[0]
+    assert l1 is l2  # the same device buffer, not a re-upload
+
+    # touch the file -> new fingerprint -> fresh upload
+    t = time.time() + 2
+    os.utime(npz, (t, t))
+    r3 = make_runner()
+    assert r3._weights_key != r1._weights_key
+    p3, _ = r3._params_on_device()
+    l3 = jax.tree_util.tree_leaves(p3)[0]
+    assert l3 is not l1
