@@ -25,6 +25,67 @@ from ribca_tpu.panels.vocab import PANEL_MODEL_SPECS
 Dtype = Any
 
 
+class QuantDense(nn.Module):
+    """Drop-in ``nn.Dense`` running its matmul on the int8 MXU path.
+
+    Same parameter names/shapes as ``nn.Dense`` (kernel/bias), so float
+    checkpoints load unchanged; quantization happens inside the jitted
+    forward each dispatch (weights are runtime inputs, and the absmax +
+    round passes are trivial next to the matmul):
+
+    * weights: per-output-channel symmetric int8 (absmax / 127);
+    * activations: per-tensor dynamic symmetric int8;
+    * accumulation: int32 (``preferred_element_type``), rescaled by the
+      product of the two scales and biased in the compute dtype.
+
+    Status: MEASURED EXPERIMENTAL VARIANT, not wired into production.
+    v5e chained-loop numbers (B=8192, 2026-08-18): the raw s8xs8->s32 dot
+    runs 1.6-1.9x the bf16 rate at these shapes (285 vs 175 TF/s at
+    k=576), but THIS dynamic-scale layer makes the full heads SLOWER —
+    immune_full 0.98x, structure 0.89x, nerve 0.91x — because the absmax
+    reduce + round/clip/convert passes add VPU/bandwidth work to models
+    that are already >=56% VPU/bandwidth-bound (BASELINE.md profile). A
+    static-scale variant with pre-quantized int8 weights (no per-dispatch
+    absmax/weight-quant; emulated with constant scales) measured
+    1.13x/1.04x/1.04x per head = a projected ~1.09x ensemble — real but
+    small, and it needs per-layer activation-scale calibration plus an
+    int8 param-tree transform to ship. Recorded as the measured ceiling
+    of the int8 avenue (ROADMAP); the exact bf16/f32 composition stays
+    the production path (bit-compatible with the reference maps)."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_features = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (in_features, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        eps = jnp.float32(1e-12)
+        xf = x.astype(jnp.float32)
+        s_x = jnp.max(jnp.abs(xf)) / 127.0 + eps
+        x_q = jnp.clip(jnp.round(xf / s_x), -127, 127).astype(jnp.int8)
+        kf = kernel.astype(jnp.float32)
+        s_w = jnp.max(jnp.abs(kf), axis=0) / 127.0 + eps
+        w_q = jnp.clip(jnp.round(kf / s_w), -127, 127).astype(jnp.int8)
+        y = jax.lax.dot_general(
+            x_q, w_q,
+            (((x_q.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        scale = (s_x * s_w).astype(self.dtype)
+        return y.astype(self.dtype) * scale + bias.astype(self.dtype)
+
+
+def _dense(quantized: bool, features: int, dtype, name: str):
+    if quantized:
+        return QuantDense(features, dtype=dtype, name=name)
+    return nn.Dense(features, use_bias=True, dtype=dtype, name=name)
+
+
 class Attention(nn.Module):
     """Multi-head self-attention with f32 softmax (timm/torch parity).
 
@@ -41,14 +102,14 @@ class Attention(nn.Module):
     dim: int
     num_heads: int
     dtype: Dtype = jnp.float32
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x):
         b, l, d = x.shape
         head_dim = self.dim // self.num_heads
         scale = head_dim**-0.5
-        qkv = nn.Dense(3 * self.dim, use_bias=True, dtype=self.dtype,
-                       name="qkv")(x)
+        qkv = _dense(self.quantized, 3 * self.dim, self.dtype, "qkv")(x)
         qkv = qkv.reshape(b, l, 3, self.num_heads, head_dim)
         q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
         attn = (q * scale) @ k.transpose(0, 1, 3, 2)
@@ -56,20 +117,20 @@ class Attention(nn.Module):
             self.dtype
         )
         x = (attn @ v).transpose(0, 2, 1, 3).reshape(b, l, d)
-        return nn.Dense(self.dim, use_bias=True, dtype=self.dtype,
-                        name="proj")(x)
+        return _dense(self.quantized, self.dim, self.dtype, "proj")(x)
 
 
 class Mlp(nn.Module):
     dim: int
     hidden: int
     dtype: Dtype = jnp.float32
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
+        x = _dense(self.quantized, self.hidden, self.dtype, "fc1")(x)
         x = nn.gelu(x, approximate=False)  # timm nn.GELU is the erf form
-        return nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
+        return _dense(self.quantized, self.dim, self.dtype, "fc2")(x)
 
 
 class Block(nn.Module):
@@ -77,15 +138,18 @@ class Block(nn.Module):
     num_heads: int
     mlp_ratio: float = 4.0
     dtype: Dtype = jnp.float32
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x):
         y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
         x = x + Attention(self.dim, self.num_heads, dtype=self.dtype,
+                          quantized=self.quantized,
                           name="attn")(y.astype(self.dtype))
         y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)
         x = x + Mlp(self.dim, int(self.dim * self.mlp_ratio),
-                    dtype=self.dtype, name="mlp")(y.astype(self.dtype))
+                    dtype=self.dtype, quantized=self.quantized,
+                    name="mlp")(y.astype(self.dtype))
         return x
 
 
@@ -99,6 +163,7 @@ class VisionTransformer(nn.Module):
     num_heads: int = 12
     mlp_ratio: float = 4.0
     dtype: Dtype = jnp.float32
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -130,7 +195,8 @@ class VisionTransformer(nn.Module):
 
         for i in range(self.depth):
             x = Block(self.embed_dim, self.num_heads, self.mlp_ratio,
-                      dtype=self.dtype, name=f"blocks_{i}")(x)
+                      dtype=self.dtype, quantized=self.quantized,
+                      name=f"blocks_{i}")(x)
 
         x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm")(x)
         x = x[:, 0]
@@ -156,11 +222,15 @@ def vit_l(**kw) -> VisionTransformer:
 ARCHS = {"vit_tiny": vit_tiny, "vit_s": vit_s, "vit_m": vit_m, "vit_l": vit_l}
 
 
-def build_panel_model(panel: str, dtype=jnp.float32) -> VisionTransformer:
+def build_panel_model(panel: str, dtype=jnp.float32,
+                      quantized: bool = False) -> VisionTransformer:
     """Classifier for a panel per the reference's load table
-    (model.py:188-239)."""
+    (model.py:188-239). ``quantized`` swaps the block Dense layers for
+    the int8 MXU path (QuantDense) — opt-in serving mode, not
+    bit-compatible with the reference."""
     arch, in_chans, num_classes = PANEL_MODEL_SPECS[panel]
-    return ARCHS[arch](in_chans=in_chans, num_classes=num_classes, dtype=dtype)
+    return ARCHS[arch](in_chans=in_chans, num_classes=num_classes,
+                       dtype=dtype, quantized=quantized)
 
 
 def init_params(model: nn.Module, seed: int = 0, in_shape=None):

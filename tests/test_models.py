@@ -162,3 +162,28 @@ def test_param_store_orbax_roundtrip(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(params),
                     jax.tree_util.tree_leaves(back)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_quant_dense_head_agrees_with_float():
+    """QuantDense (int8 dynamic per-tensor) preserves the float head's
+    decisions on realistic inputs: same param tree, >=90% top-1 agreement
+    and high logit correlation. Guards the measured experimental variant
+    (models/vit.py QuantDense) against silent numerical rot."""
+    import jax
+    import numpy as np
+
+    from ribca_tpu.models.vit import build_panel_model, init_params_np
+
+    m_f = build_panel_model("immune_base", dtype=jnp.float32)
+    m_q = build_panel_model("immune_base", dtype=jnp.float32,
+                            quantized=True)
+    params = init_params_np(m_f, seed=0)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(64, 7, 40, 40)).astype(np.float32))
+    lf = np.asarray(jax.jit(m_f.apply)({"params": params}, x))
+    lq = np.asarray(jax.jit(m_q.apply)({"params": params}, x))
+    assert lf.shape == lq.shape == (64, 5)
+    agree = (lf.argmax(1) == lq.argmax(1)).mean()
+    corr = np.corrcoef(lf.ravel(), lq.ravel())[0, 1]
+    assert agree >= 0.9, (agree, corr)
+    assert corr >= 0.98, (agree, corr)
