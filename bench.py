@@ -291,13 +291,21 @@ def measure_e2e() -> tuple[float, int]:
         return dt if not keep_csv else (dt, acc)
 
     cold = once()  # compiles (persistent cache makes reruns cheap)
-    # best of 3 warm runs: the tunneled device is shared and run-to-run
+    # best of N warm runs: the tunneled device is shared and run-to-run
     # contention can inflate a warm run 3-4x (observed: a 9.0 s cohort
     # predict measuring 28 s minutes earlier, identical code and zero
-    # compiles both times) — the min is the honest capability number
+    # compiles both times) — the min is the honest capability number.
+    # Adaptive N: keep sampling (3..6) until a second sample lands within
+    # 25% of the min, so a noisy window doesn't freeze a 2x-inflated
+    # number into the record.
     warms = [once(), once()]
     last, acc = once(keep_csv=True)
     warms.append(last)
+    while (
+        len(warms) < 6
+        and sorted(warms)[1] > 1.25 * min(warms)
+    ):
+        warms.append(once())
     warm = min(warms)
     print(
         f"e2e cold={cold:.1f}s warm={warms} "
@@ -381,10 +389,16 @@ def measure_cohort() -> tuple[float, int]:
         return dt, compiles
 
     cold, cold_c = once()
-    # best of 3 warm runs (shared-tunnel contention; see measure_e2e —
+    # best of N warm runs (shared-tunnel contention; see measure_e2e —
     # the spread between warm runs of identical zero-compile code has
-    # measured 9.0 s vs 28.0 s on this chip)
+    # measured 9.0 s vs 28.0 s on this chip); adaptive 3..6 as in
+    # measure_e2e
     runs = [once(), once(), once()]
+    while (
+        len(runs) < 6
+        and sorted(r[0] for r in runs)[1] > 1.25 * min(r[0] for r in runs)
+    ):
+        runs.append(once())
     warm, warm_c = min(runs, key=lambda r: r[0])
     total = COHORT_SLIDES * COHORT_CELLS
     print(
@@ -425,8 +439,16 @@ def measure_analytics() -> tuple[float, float]:
         return time.perf_counter() - t0
 
     cold = once()
-    warm = min(once(), once(), once())
-    print(f"analytics cold={cold:.1f}s warm={warm:.1f}s", file=sys.stderr)
+    samples = [once(), once(), once()]
+    while (
+        len(samples) < 5
+        and sorted(samples)[1] > 1.25 * min(samples)
+    ):
+        samples.append(once())
+    warm = min(samples)
+    print(f"analytics cold={cold:.1f}s warm={warm:.1f}s "
+          f"[samples: {'/'.join(f'{s:.1f}' for s in samples)}]",
+          file=sys.stderr)
 
     cached = {}
     if os.path.exists(BASELINE_CACHE):
