@@ -42,6 +42,7 @@ from ribca_tpu.outputs import (
     export_annotations_csv,
     get_colors,
     rgb_to_hex,
+    save_png,
 )
 from ribca_tpu.outputs.plots import composition_pie, marker_heatmap, umap_scatter
 from ribca_tpu.panels.parser import MarkerParser
@@ -671,8 +672,6 @@ class Annotator:
 
     def _colorize(self, tindex, tissue_colors, from_script,
                   working_dir) -> None:
-        from PIL import Image
-
         for i, rec in enumerate(self.records):
             type_ids = np.asarray(
                 [tindex[lab] for lab in self.annotations[i]], dtype=np.int64
@@ -688,24 +687,29 @@ class Annotator:
                 want_labels=not from_script,
             )
             rd, bid = self.result_dir, self.batch_id
-            Image.fromarray(maps["cell_type_rgb"]).save(
-                os.path.join(rd, f"{bid}_colorized_annotation_{self._image_tag(i)}.png")
+            save_png(
+                os.path.join(rd, f"{bid}_colorized_annotation_{self._image_tag(i)}.png"),
+                maps["cell_type_rgb"],
             )
-            Image.fromarray(maps["confidence_rgb"]).save(
-                os.path.join(rd, f"{bid}_confidence_{self._image_tag(i)}.png")
+            save_png(
+                os.path.join(rd, f"{bid}_confidence_{self._image_tag(i)}.png"),
+                maps["confidence_rgb"],
             )
             if "tissue_rgb" in maps:
-                Image.fromarray(maps["tissue_rgb"]).save(
-                    os.path.join(rd, f"{bid}_tissue_region_{self._image_tag(i)}.png")
+                save_png(
+                    os.path.join(rd, f"{bid}_tissue_region_{self._image_tag(i)}.png"),
+                    maps["tissue_rgb"],
                 )
             if not from_script:
                 os.makedirs(working_dir, exist_ok=True)
-                Image.fromarray(maps["cell_type_labels"]).save(
-                    os.path.join(working_dir, "output_img.png")
+                save_png(
+                    os.path.join(working_dir, "output_img.png"),
+                    maps["cell_type_labels"],
                 )
                 if "tissue_labels" in maps:
-                    Image.fromarray(maps["tissue_labels"]).save(
-                        os.path.join(working_dir, "output_img_2.png")
+                    save_png(
+                        os.path.join(working_dir, "output_img_2.png"),
+                        maps["tissue_labels"],
                     )
         if tissue_colors is not None:
             color_legend(

@@ -4,7 +4,7 @@ from ribca_tpu.outputs.colors import (
     number_to_rgb,
     rgb_to_hex,
 )
-from ribca_tpu.outputs.colorize import colorize_image
+from ribca_tpu.outputs.colorize import colorize_image, save_png
 from ribca_tpu.outputs.export import export_annotations_csv
 
 __all__ = [
@@ -13,5 +13,6 @@ __all__ = [
     "number_to_rgb",
     "color_legend",
     "colorize_image",
+    "save_png",
     "export_annotations_csv",
 ]

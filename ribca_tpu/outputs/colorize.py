@@ -20,6 +20,23 @@ from ribca_tpu.outputs.colors import GRAY, viridis_lut
 # pixel count the one-pass C++ painter is distinctly faster and lighter.
 _NATIVE_PAINT_THRESHOLD = 4_000_000
 
+# Above this pixel count PNG deflate (PIL default level 6) dominates the
+# whole colorize stage — measured 38.5 s/map at 12288^2 vs 14.1 s at
+# level 1 with near-identical file size (cell maps are large flat-color
+# regions, so deflate level barely changes the ratio). Pixels are
+# identical either way; only the container's compression effort differs.
+_FAST_PNG_THRESHOLD = 32_000_000
+
+
+def save_png(path: str, arr: np.ndarray) -> str:
+    """Save an image array as PNG, dropping to deflate level 1 for
+    whole-slide-sized maps (pixel-identical output, ~3x faster encode)."""
+    from PIL import Image
+
+    kw = {"compress_level": 1} if arr.size >= _FAST_PNG_THRESHOLD else {}
+    Image.fromarray(arr).save(path, **kw)
+    return path
+
 
 def _lut_paint(mask: np.ndarray, table: np.ndarray) -> np.ndarray:
     if (

@@ -148,3 +148,31 @@ def test_figure_writers_smoke(rng, tmp_path):
     assert (tmp_path / "p.png").exists()
     assert (tmp_path / "u.png").exists()
     assert (tmp_path / "cell_color_legend.png").exists()
+
+
+def test_save_png_pixel_identical_across_levels(rng, tmp_path, monkeypatch):
+    """save_png drops to deflate level 1 for whole-slide maps; the pixels
+    must be identical to the default-level encode either way."""
+    from PIL import Image
+
+    from ribca_tpu.outputs import colorize as cz
+
+    arr = rng.integers(0, 255, size=(64, 64, 3), dtype=np.uint8)
+    # force the fast path on a small array, then compare to default
+    monkeypatch.setattr(cz, "_FAST_PNG_THRESHOLD", 1)
+    fast = str(tmp_path / "fast.png")
+    cz.save_png(fast, arr)
+    monkeypatch.setattr(cz, "_FAST_PNG_THRESHOLD", 10**12)
+    slow = str(tmp_path / "slow.png")
+    cz.save_png(slow, arr)
+    a = np.asarray(Image.open(fast))
+    b = np.asarray(Image.open(slow))
+    assert np.array_equal(a, arr)
+    assert np.array_equal(b, arr)
+
+    # grayscale label maps take the same path
+    lab = rng.integers(0, 7, size=(32, 32), dtype=np.uint8)
+    monkeypatch.setattr(cz, "_FAST_PNG_THRESHOLD", 1)
+    p = str(tmp_path / "lab.png")
+    cz.save_png(p, lab)
+    assert np.array_equal(np.asarray(Image.open(p)), lab)
