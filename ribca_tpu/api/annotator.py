@@ -484,7 +484,7 @@ class Annotator:
                                                                     None)
                 with self.logger.stage("device.pipeline"):
                     record = run_image(image, mask, cfg, runner,
-                                       packer=packer)
+                                       packer=packer, tracer=self.logger)
                 self.records.append(record)
                 self.logger.log(
                     f"Processed {os.path.basename(img_path)}: "

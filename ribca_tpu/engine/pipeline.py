@@ -16,6 +16,7 @@ compiles a handful of programs that are reused across images and runs.
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 from collections import deque
 
@@ -34,6 +35,14 @@ from ribca_tpu.ops.shapes import bucket_dim, pad_image_chw, pad_mask_hw
 from ribca_tpu.parallel.mesh import cell_sharding, replicated_sharding
 
 MIN_CHUNK = 64
+
+
+def trace_stage(tracer, name: str, quiet: bool = False):
+    """Sub-stage timing context: the Annotator's Logger when plumbed
+    through, a no-op otherwise (library callers without a logger)."""
+    if tracer is None:
+        return contextlib.nullcontext()
+    return tracer.stage(name, quiet=quiet)
 
 
 @dataclasses.dataclass
@@ -191,6 +200,7 @@ def run_image(
     config,
     runner,
     packer=None,
+    tracer=None,
 ) -> ImageRecord:
     """Full single-image flow: returns per-panel probs + intensities.
 
@@ -214,14 +224,15 @@ def run_image(
             from ribca_tpu.engine.tiled import run_image_tiled
 
             return run_image_tiled(image, mask, config, runner,
-                                   packer=packer)
+                                   packer=packer, tracer=tracer)
         n_channels = image.shape[0]
 
     mesh = runner.mesh
     n_dev = mesh.size
-    img_zero, min_val, mask_dev, mask_host, ext, (true_h, true_w) = (
-        preprocess_image(image, mask, config, mesh)
-    )
+    with trace_stage(tracer, "device.preprocess", quiet=True):
+        img_zero, min_val, mask_dev, mask_host, ext, (true_h, true_w) = (
+            preprocess_image(image, mask, config, mesh)
+        )
 
     ids = ext.present_ids
     n = len(ids)
@@ -257,7 +268,8 @@ def run_image(
     def drain(limit: int):
         while len(inflight) > limit:
             avg, n_valid = inflight.popleft()
-            int_parts.append(np.asarray(avg[:n_valid]))
+            with trace_stage(tracer, "device.drain", quiet=True):
+                int_parts.append(np.asarray(avg[:n_valid]))
 
     for start in range(0, n, chunk):
         stop = min(start + chunk, n)
@@ -267,24 +279,27 @@ def run_image(
         # all the way to `chunk`; the packer then shares the bucket's pad
         # rows with the next image's cells
         size = chunk_size_for(n_valid, chunk, n_dev)
-        args = [
-            jax.device_put(pad(a, size), sh)
-            for a in (
-                sel, ext.rmin[sel], ext.rmax[sel], ext.cmin[sel],
-                ext.cmax[sel],
+        with trace_stage(tracer, "device.extract", quiet=True):
+            args = [
+                jax.device_put(pad(a, size), sh)
+                for a in (
+                    sel, ext.rmin[sel], ext.rmax[sel], ext.cmin[sel],
+                    ext.cmax[sel],
+                )
+            ]
+            cell_arr, rmin, rmax, cmin, cmax = args
+            patches, avg_int = extract_patches(
+                img_zero, min_val, mask_dev, cell_arr, rmin, rmax, cmin,
+                cmax,
+                patch_size=patch_size, full_h=true_h, full_w=true_w,
             )
-        ]
-        cell_arr, rmin, rmax, cmin, cmax = args
-        patches, avg_int = extract_patches(
-            img_zero, min_val, mask_dev, cell_arr, rmin, rmax, cmin, cmax,
-            patch_size=patch_size, full_h=true_h, full_w=true_w,
-        )
-        packer.submit(patches, n_valid, sink, start)
+            packer.submit(patches, n_valid, sink, start)
         inflight.append((avg_int, n_valid))
         drain(packer.prefetch_depth)
     drain(0)
     if local_packer:
-        packer.finalize()
+        with trace_stage(tracer, "device.finalize", quiet=True):
+            packer.finalize()
 
     if int_parts:
         intensity = np.concatenate(int_parts, axis=0)

@@ -43,7 +43,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ribca_tpu.engine.pipeline import ImageRecord, chunk_size_for
+from ribca_tpu.engine.pipeline import (
+    ImageRecord,
+    chunk_size_for,
+    trace_stage,
+)
 from ribca_tpu.ops.extents import cell_extents
 from ribca_tpu.ops.normalize import (
     HIST_BINS,
@@ -318,6 +322,7 @@ def run_image_tiled(
     runner,
     band_rows: int | None = None,
     packer=None,
+    tracer=None,
 ) -> ImageRecord:
     """Banded counterpart of engine.pipeline.run_image; same outputs.
     ``packer`` as in run_image: shared CohortPacker for cross-image tail
@@ -366,17 +371,19 @@ def run_image_tiled(
         if band_rows >= 512:
             band_rows = 1 << (band_rows.bit_length() - 1)
     if use_cache:
-        pre_bands, thresh, denom, scaled_min, has_signal = prenorm_cached(
-            image, config, band_rows
-        )
+        with trace_stage(tracer, "device.prenorm", quiet=True):
+            pre_bands, thresh, denom, scaled_min, has_signal = (
+                prenorm_cached(image, config, band_rows)
+            )
         min_val = scaled_min
         thresh_d = jax.device_put(thresh, rep)
         denom_d = jax.device_put(denom, rep)
         signal_d = jax.device_put(has_signal, rep)
     elif config.normalize:
-        thresh, denom, scaled_min, has_signal = compute_global_norm_stats(
-            image, config, band_rows
-        )
+        with trace_stage(tracer, "device.prenorm", quiet=True):
+            thresh, denom, scaled_min, has_signal = (
+                compute_global_norm_stats(image, config, band_rows)
+            )
         min_val = jnp.asarray(scaled_min)
         thresh_d = jax.device_put(jnp.asarray(thresh), rep)
         denom_d = jax.device_put(jnp.asarray(denom), rep)
@@ -389,9 +396,10 @@ def run_image_tiled(
                 image.reshape(c, -1).min(axis=1).astype(np.float32)
             )
 
-    ext = cell_extents(
-        mask, prefer_native=getattr(config, "use_native_scanner", True)
-    )
+    with trace_stage(tracer, "host.extents", quiet=True):
+        ext = cell_extents(
+            mask, prefer_native=getattr(config, "use_native_scanner", True)
+        )
     ids = ext.present_ids
     n = len(ids)
 
@@ -436,7 +444,8 @@ def run_image_tiled(
     def drain(limit: int):
         while len(inflight) > limit:
             avg, n_valid, idx = inflight.popleft()
-            int_parts.append(np.asarray(avg[:n_valid]))
+            with trace_stage(tracer, "device.drain", quiet=True):
+                int_parts.append(np.asarray(avg[:n_valid]))
             order_parts.append(idx)
 
     cell_bands = sorted(set(band_of.tolist())) if n else []
@@ -458,9 +467,10 @@ def run_image_tiled(
         # extraction rows [s, e + patch), prenorm needs halo around them
         lo = max(s - halo, 0)
         if use_cache:
-            pre_ext = _ext_band_from_cache(pre_bands, b, ext_rows)
-            band_img = band_apply_scale(pre_ext, thresh_d, denom_d,
-                                        signal_d)
+            with trace_stage(tracer, "device.band_assemble", quiet=True):
+                pre_ext = _ext_band_from_cache(pre_bands, b, ext_rows)
+                band_img = band_apply_scale(pre_ext, thresh_d, denom_d,
+                                            signal_d)
         elif config.normalize:
             raw = next(raw_iter)
             pre = band_prenorm(
@@ -498,24 +508,28 @@ def run_image_tiled(
             piece_idx = sel_idx[start:stop]
             n_valid = len(piece)
             size = chunk_size_for(max(n_valid, 1), chunk, n_dev)
-            args = [
-                jax.device_put(pad_cells_arr(a, size), sh)
-                for a in (
-                    piece, ext.rmin[piece], ext.rmax[piece],
-                    ext.cmin[piece], ext.cmax[piece],
+            with trace_stage(tracer, "device.extract", quiet=True):
+                args = [
+                    jax.device_put(pad_cells_arr(a, size), sh)
+                    for a in (
+                        piece, ext.rmin[piece], ext.rmax[piece],
+                        ext.cmin[piece], ext.cmax[piece],
+                    )
+                ]
+                cell_arr, rmn, rmx, cmn, cmx = args
+                patches, avg_int = extract_patches(
+                    band_zero, min_val, mask_dev, cell_arr, rmn, rmx,
+                    cmn, cmx,
+                    patch_size=patch_size, row_offset=s, full_h=h,
+                    full_w=w,
                 )
-            ]
-            cell_arr, rmn, rmx, cmn, cmx = args
-            patches, avg_int = extract_patches(
-                band_zero, min_val, mask_dev, cell_arr, rmn, rmx, cmn, cmx,
-                patch_size=patch_size, row_offset=s, full_h=h, full_w=w,
-            )
-            packer.submit(patches, n_valid, sink, piece_idx)
+                packer.submit(patches, n_valid, sink, piece_idx)
             inflight.append((avg_int, n_valid, piece_idx))
             drain(packer.prefetch_depth)
     drain(0)
     if local_packer:
-        packer.finalize()
+        with trace_stage(tracer, "device.finalize", quiet=True):
+            packer.finalize()
 
     # reassemble intensities into ascending-cell-id order (the packer
     # scatters probs straight into the sink by explicit row index)

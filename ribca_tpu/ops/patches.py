@@ -94,26 +94,37 @@ def _gather_windows(img_zero, mask, rmin, rmax, cmin, cmax, patch_size,
     shape-bucketed uploads (ops/shapes.py) carry pad columns beyond it
     whose pixels (NaN after masked normalization) must read as
     out-of-image. Callers guarantee each cell's window rows fall inside
-    the band (+halo)."""
+    the band (+halo).
+
+    Implemented as a vmapped ``dynamic_slice`` over inputs zero-padded by
+    one window: XLA lowers it to ONE block gather of contiguous
+    (C, P, P) slices, which runs near HBM bandwidth. Measured on v5e at
+    4096 cells x 8ch x 3000px: the elementwise 2-D index gather this
+    replaces cost 232 ms (~2/3 of a whole ViT-s forward); this
+    formulation is 47 ms (5x), taking extract_patches 270 -> 110 ms. The
+    pad guarantees no start is ever clamped, so windows running past the
+    band edge read zeros instead of shifted pixels; the validity mask
+    then zeroes out-of-image positions exactly as before (bit-identical
+    outputs, tests/test_ops.py oracle)."""
     band_h = mask.shape[0]
+    p = patch_size
+    c = img_zero.shape[0]
+    imgp = jnp.pad(img_zero, ((0, 0), (0, p), (0, p)))
+    maskp = jnp.pad(mask, ((0, p), (0, p)))
 
     def one(rmn, rmx, cmn, cmx):
         x_mean = (rmn + rmx) // 2
         y_mean = (cmn + cmx) // 2
         xmin = jnp.maximum(x_mean - offset, 0)
         ymin = jnp.maximum(y_mean - offset, 0)
-        rows = xmin + jnp.arange(patch_size)  # global rows
-        cols = ymin + jnp.arange(patch_size)
+        xl = xmin - row_offset  # in [0, band_h) by the caller contract
+        ip = jax.lax.dynamic_slice(imgp, (0, xl, ymin), (c, p, p))
+        mp = jax.lax.dynamic_slice(maskp, (xl, ymin), (p, p))
+        rows = xmin + jnp.arange(p)  # global rows
+        cols = ymin + jnp.arange(p)
         local = rows - row_offset
         vr = (rows < full_h) & (local >= 0) & (local < band_h)
         vc = cols < full_w
-        rc = jnp.where(vr, local, 0)
-        cc = jnp.where(vc, cols, 0)
-        # ONE combined 2-D gather: chaining [:, rc][:, :, cc] materializes
-        # a (C, P, W) row-gather intermediate per cell — 32 GB for an
-        # 8k-cell chunk on a 3000-px-wide slide
-        ip = img_zero[:, rc[:, None], cc[None, :]]
-        mp = mask[rc[:, None], cc[None, :]]
         valid = vr[:, None] & vc[None, :]
         # where-select, not multiply: pad pixels are NaN and NaN*0 = NaN
         return (

@@ -66,15 +66,18 @@ class Logger:
         self.log_file.flush()
 
     @contextlib.contextmanager
-    def stage(self, name: str):
-        """Time a pipeline stage; accumulated into the trace summary."""
+    def stage(self, name: str, quiet: bool = False):
+        """Time a pipeline stage; accumulated into the trace summary.
+        ``quiet`` skips the per-call log line — for hot sub-stages entered
+        hundreds of times per run (their totals still land in trace.json)."""
         t0 = time.perf_counter()
         try:
             yield
         finally:
             dt = time.perf_counter() - t0
             self._timings[name] = self._timings.get(name, 0.0) + dt
-            self.log(f"[trace] stage {name}: {dt:.3f}s")
+            if not quiet:
+                self.log(f"[trace] stage {name}: {dt:.3f}s")
 
     @property
     def timings(self) -> dict[str, float]:
