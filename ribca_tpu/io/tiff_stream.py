@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import ctypes
 import ctypes.util
+import os
 import threading
 
 import numpy as np
@@ -31,10 +32,16 @@ import numpy as np
 TAG_IMAGEWIDTH = 256
 TAG_IMAGELENGTH = 257
 TAG_BITSPERSAMPLE = 258
+TAG_COMPRESSION = 259
+TAG_STRIPOFFSETS = 273
 TAG_SAMPLESPERPIXEL = 277
+TAG_ROWSPERSTRIP = 278
+TAG_STRIPBYTECOUNTS = 279
 TAG_SAMPLEFORMAT = 339
 TAG_TILEWIDTH = 322
 TAG_TILELENGTH = 323
+
+COMPRESSION_NONE = 1
 
 SAMPLEFORMAT_UINT = 1
 SAMPLEFORMAT_INT = 2
@@ -83,6 +90,15 @@ def _libtiff():
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint32,
                 ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint16,
             ]
+            lib.TIFFNumberOfStrips.restype = ctypes.c_uint32
+            lib.TIFFNumberOfStrips.argtypes = [ctypes.c_void_p]
+            lib.TIFFReadEncodedStrip.restype = ctypes.c_ssize_t
+            lib.TIFFReadEncodedStrip.argtypes = [
+                ctypes.c_void_p, ctypes.c_uint32, ctypes.c_void_p,
+                ctypes.c_ssize_t,
+            ]
+            lib.TIFFIsByteSwapped.restype = ctypes.c_int
+            lib.TIFFIsByteSwapped.argtypes = [ctypes.c_void_p]
             # variadic TIFFGetField: declare per-call below
             lib.TIFFGetField.restype = ctypes.c_int
             # silence libtiff warning spam to stderr
@@ -155,6 +171,13 @@ class TiffBandReader:
         # (io/tiff.py:45-49)
         self._dirs: list[int] = []
         self._tiled: dict[int, tuple[int, int]] = {}  # page -> (tw, tl)
+        # page -> (strip offsets u64, strip bytecounts u64, rows_per_strip)
+        # for uncompressed strip pages: rows are read with raw pread()s
+        # instead of one TIFFReadScanline ctypes call per row (measured
+        # ~58 us/call; a 3000^2x7 slide = 21k calls = seconds of pure
+        # call overhead for what is page-cache I/O).
+        self._raw: dict[int, tuple[np.ndarray, np.ndarray, int]] = {}
+        self._swapped = bool(lib.TIFFIsByteSwapped(ctypes.c_void_p(tif)))
         for page in range(int(n_pages)):
             if not lib.TIFFSetDirectory(ctypes.c_void_p(tif), page):
                 break
@@ -169,11 +192,47 @@ class TiffBandReader:
                     if not (tw and tl):
                         continue
                     self._tiled[page] = (int(tw), int(tl))
+                else:
+                    plan = self._strip_plan(page, int(h), int(w))
+                    if plan is not None:
+                        self._raw[page] = plan
                 self._dirs.append(page)
         if not self._dirs:
             raise ValueError("no readable full-resolution pages")
         self.shape = (len(self._dirs), int(h), int(w))
+        self._fd = os.open(path, os.O_RDONLY) if self._raw else -1
         self._lock = threading.Lock()
+
+    def _strip_plan(self, page, h, w):
+        """(offsets, bytecounts, rows_per_strip) when the current page's
+        rows can be served by raw pread (uncompressed strips whose byte
+        counts match exactly rows*w*itemsize), else None."""
+        lib, tif = self._lib, self._tif
+        if _get_u16(lib, tif, TAG_COMPRESSION, COMPRESSION_NONE) \
+                != COMPRESSION_NONE:
+            return None
+        rps = _get_u32(lib, tif, TAG_ROWSPERSTRIP, h)
+        rps = min(int(rps), h) or h
+        n_strips = int(lib.TIFFNumberOfStrips(ctypes.c_void_p(tif)))
+        if n_strips != -(-h // rps):
+            return None
+        off_p = ctypes.POINTER(ctypes.c_uint64)()
+        cnt_p = ctypes.POINTER(ctypes.c_uint64)()
+        if not lib.TIFFGetField(ctypes.c_void_p(tif),
+                                ctypes.c_uint32(TAG_STRIPOFFSETS),
+                                ctypes.byref(off_p)):
+            return None
+        if not lib.TIFFGetField(ctypes.c_void_p(tif),
+                                ctypes.c_uint32(TAG_STRIPBYTECOUNTS),
+                                ctypes.byref(cnt_p)):
+            return None
+        offs = np.ctypeslib.as_array(off_p, (n_strips,)).copy()
+        cnts = np.ctypeslib.as_array(cnt_p, (n_strips,)).copy()
+        row_bytes = w * self.dtype.itemsize
+        strip_rows = np.minimum(rps, h - rps * np.arange(n_strips))
+        if not np.array_equal(cnts, strip_rows * row_bytes):
+            return None
+        return offs, cnts, rps
 
     @property
     def nbytes(self) -> int:
@@ -188,23 +247,66 @@ class TiffBandReader:
         lib, tif = self._lib, self._tif
         with self._lock:
             for chan, page in enumerate(self._dirs):
+                buf = out[chan]
+                if page in self._raw:
+                    self._read_raw(page, buf, lo, hi)
+                    continue
                 if not lib.TIFFSetDirectory(ctypes.c_void_p(tif), page):
                     raise OSError(f"TIFFSetDirectory({page}) failed")
-                buf = out[chan]
                 if page in self._tiled:
                     self._read_tiles(page, buf, lo, hi)
-                    continue
-                for i, row in enumerate(range(lo, hi)):
-                    ok = lib.TIFFReadScanline(
-                        ctypes.c_void_p(tif),
-                        buf[i].ctypes.data_as(ctypes.c_void_p),
-                        ctypes.c_uint32(row), 0,
-                    )
-                    if ok != 1:
-                        raise OSError(
-                            f"TIFFReadScanline(page={page}, row={row}) failed"
-                        )
+                else:
+                    self._read_strips(page, buf, lo, hi)
         return out
+
+    def _read_strips(self, page: int, buf: np.ndarray, lo: int, hi: int):
+        """Fill ``buf`` (rows [lo, hi) of one strip-organized page) via
+        TIFFReadEncodedStrip — unlike per-row TIFFReadScanline this
+        supports random access into compressed strips."""
+        lib, tif = self._lib, self._tif
+        h, w = self.shape[1], self.shape[2]
+        rps = min(int(_get_u32(lib, tif, TAG_ROWSPERSTRIP, h)), h) or h
+        strip = np.empty((rps, w), self.dtype)
+        strip_ptr = strip.ctypes.data_as(ctypes.c_void_p)
+        for s0 in range((lo // rps) * rps, hi, rps):
+            n = lib.TIFFReadEncodedStrip(
+                ctypes.c_void_p(tif), ctypes.c_uint32(s0 // rps),
+                strip_ptr, ctypes.c_ssize_t(strip.nbytes),
+            )
+            if n < 0:
+                raise OSError(
+                    f"TIFFReadEncodedStrip(page={page}, strip={s0 // rps})"
+                    " failed"
+                )
+            r0, r1 = max(lo, s0), min(hi, s0 + rps, h)
+            buf[r0 - lo : r1 - lo] = strip[r0 - s0 : r1 - s0]
+
+    def _read_raw(self, page: int, buf: np.ndarray, lo: int, hi: int):
+        """Fill ``buf`` (rows [lo, hi) of one uncompressed strip page) by
+        pread()ing the strip bytes directly, merging file-contiguous
+        strips into single reads."""
+        offs, _cnts, rps = self._raw[page]
+        row_bytes = self.shape[2] * self.dtype.itemsize
+        flat = buf.reshape(-1).view(np.uint8)
+        # per-row file offsets for the requested rows, merged into runs
+        rows = np.arange(lo, hi, dtype=np.int64)
+        file_off = offs[rows // rps] + (rows % rps) * row_bytes
+        breaks = np.nonzero(np.diff(file_off) != row_bytes)[0] + 1
+        starts = np.concatenate(([0], breaks))
+        ends = np.concatenate((breaks, [len(rows)]))
+        for s, e in zip(starts, ends):
+            view = memoryview(flat[s * row_bytes : e * row_bytes])
+            offset = int(file_off[s])
+            while view.nbytes:
+                n = os.preadv(self._fd, [view], offset)
+                if n <= 0:
+                    raise OSError(
+                        f"raw strip read failed (page={page}, off={offset})"
+                    )
+                view = view[n:]
+                offset += n
+        if self._swapped:
+            buf.byteswap(inplace=True)
 
     def _read_tiles(self, page: int, buf: np.ndarray, lo: int, hi: int):
         """Fill ``buf`` (rows [lo, hi) of one tile-organized page) via
@@ -247,6 +349,9 @@ class TiffBandReader:
         if getattr(self, "_tif", None):
             self._lib.TIFFClose(ctypes.c_void_p(self._tif))
             self._tif = None
+        if getattr(self, "_fd", -1) >= 0:
+            os.close(self._fd)
+            self._fd = -1
 
     def __del__(self):  # pragma: no cover
         try:
@@ -268,5 +373,11 @@ def open_image(path: str, host_budget_bytes: int = 8 << 30):
             return read_image(path)
         if reader.nbytes > host_budget_bytes:
             return reader
-        reader.close()
+        try:
+            if len(reader._raw) == reader.shape[0]:
+                # every page raw-readable: materialize via pread (page-
+                # cache speed) instead of the PIL per-page decode
+                return reader.read_band(0, reader.shape[1])
+        finally:
+            reader.close()
     return read_image(path)

@@ -99,6 +99,37 @@ def test_pipeline_from_streaming_reader(tmp_path, rng):
     )
 
 
+def test_raw_strip_fast_path_selected(stack_path):
+    """PIL-written (uncompressed strip) stacks are served by raw pread,
+    not per-row TIFFReadScanline calls."""
+    path, arr = stack_path
+    r = TiffBandReader(path)
+    assert len(r._raw) == r.shape[0]
+    np.testing.assert_array_equal(r.read_band(3, 41), arr[:, 3:41])
+    r.close()
+    # open_image materializes small raw-readable files via pread too
+    out = open_image(path, host_budget_bytes=1 << 30)
+    assert isinstance(out, np.ndarray)
+    np.testing.assert_array_equal(out, arr)
+
+
+def test_compressed_tiff_falls_back_to_scanline(tmp_path, rng):
+    """Deflate-compressed stacks can't be pread raw; the scanline path
+    must decode them identically."""
+    from PIL import Image
+
+    arr = rng.integers(0, 60000, size=(3, 40, 48)).astype(np.uint16)
+    path = str(tmp_path / "deflate.tif")
+    pages = [Image.fromarray(arr[c]) for c in range(3)]
+    pages[0].save(path, save_all=True, append_images=pages[1:],
+                  format="TIFF", compression="tiff_deflate")
+    r = TiffBandReader(path)
+    assert not r._raw  # plan rejected: compression != none
+    np.testing.assert_array_equal(r.read_band(0, 40), arr)
+    np.testing.assert_array_equal(r.read_band(7, 19), arr[:, 7:19])
+    r.close()
+
+
 # -- tiled (TIFFReadTile) layouts ---------------------------------------------
 
 
