@@ -313,12 +313,20 @@ class Annotator:
                         else:
                             cast_f32_masked.lower(img_sds, 0, 0).compile()
                         count += 1
-                    # extract always sees the post-normalize f32 image
-                    imgf_sds = jax.ShapeDtypeStruct(
+                    # extract always sees the post-normalize f32 image,
+                    # pre-padded one window (pipeline._pad_img_nan)
+                    from ribca_tpu.engine.pipeline import _pad_img_nan
+
+                    imgu_sds = jax.ShapeDtypeStruct(
                         (c, hb, wb), f32, sharding=rep_sh
                     )
+                    _pad_img_nan.lower(imgu_sds, pad=patch).compile()
+                    count += 1
+                    imgf_sds = jax.ShapeDtypeStruct(
+                        (c, hb + patch, wb + patch), f32, sharding=rep_sh
+                    )
                     mask_sds = jax.ShapeDtypeStruct(
-                        (hb, wb), i32, sharding=rep_sh
+                        (hb + patch, wb + patch), i32, sharding=rep_sh
                     )
                     min_sds = jax.ShapeDtypeStruct(
                         (c,), f32, sharding=rep_sh
@@ -331,6 +339,7 @@ class Annotator:
                             imgf_sds, min_sds, mask_sds,
                             cell, cell, cell, cell, cell,
                             patch_size=patch, full_h=0, full_w=0,
+                            prepadded=True,
                         ).compile()
                         count += 1
         self.logger.log(f"warm_cache: {count} programs lowered")

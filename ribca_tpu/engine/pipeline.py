@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import contextlib
 import dataclasses
+import functools
 from collections import deque
 
 import jax
@@ -124,9 +125,14 @@ def stage_image(image, mask, config, mesh):
     rep = replicated_sharding(mesh)
     # upload in the source dtype (uint16 slides are half the bytes of f32;
     # host->device bandwidth is the scarce resource); cast happens on
-    # device in preprocess_image
+    # device in preprocess_image. The mask carries one extra patch window
+    # of zero pad so extract_patches(prepadded=True) never re-pads it
+    # inside a chunk dispatch.
+    patch = int(40 * config.cell_size / 30.0)
     img_dev = jax.device_put(pad_image_chw(image, hb, wb), rep)
-    mask_dev = jax.device_put(pad_mask_hw(mask, hb, wb), rep)
+    mask_dev = jax.device_put(
+        pad_mask_hw(mask, hb + patch, wb + patch), rep
+    )
     extents = cell_extents(
         mask, prefer_native=getattr(config, "use_native_scanner", True)
     )
@@ -169,8 +175,19 @@ def preprocess_image(
     # nan-aware: pad pixels are NaN by the masked-normalization contract.
     min_val = jnp.nanmin(img_dev, axis=(1, 2))
     img_zero = img_dev - min_val[:, None, None]
+    # one-window NaN pad applied ONCE, so every chunk dispatch skips the
+    # in-program full-image re-pad (extract_patches prepadded=True); the
+    # validity mask zeroes any pad pixel a window touches
+    img_zero = _pad_img_nan(img_zero,
+                            int(40 * config.cell_size / 30.0))
 
     return img_zero, min_val, st.mask_dev, st.mask_host, st.extents, (h, w)
+
+
+@functools.partial(jax.jit, static_argnames=("pad",))
+def _pad_img_nan(img, pad: int):
+    return jnp.pad(img, ((0, 0), (0, pad), (0, pad)),
+                   constant_values=jnp.nan)
 
 
 def pack_size(config, n_devices: int) -> int:
@@ -292,6 +309,7 @@ def run_image(
                 img_zero, min_val, mask_dev, cell_arr, rmin, rmax, cmin,
                 cmax,
                 patch_size=patch_size, full_h=true_h, full_w=true_w,
+                prepadded=True,
             )
             packer.submit(patches, n_valid, sink, start)
         inflight.append((avg_int, n_valid))

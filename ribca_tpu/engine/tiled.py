@@ -11,19 +11,22 @@ streams through the device in row bands:
   them into the global amax-percentile threshold, scale denominator,
   minimum, and has-signal flags — the reference's global normalization
   statistics (preprocess.py:229-238);
-* pass B (extract): each band applies the global scalars branchlessly
-  (band_apply_scale) and feeds the band's cells through the fused
+* pass B (extract): each band's cells flow through the fused
   patch-extraction + ensemble programs with band-local row addressing
-  (ops/patches.extract_patches row_offset/full_h).
+  (ops/patches.extract_patches row_offset/full_h); the global scalars
+  apply per WINDOW inside the extraction kernel (fused with the gather),
+  never as a separate full-band pass.
 
 Cells are assigned to the band containing their window's top row, so a
 band of rows [s, e) extracts from rows [s, e + patch) — always resident.
 
 Single-upload cache mode: when the slide's f32 prenorm fits
-``config.device_prenorm_cache_bytes`` of HBM, pass A keeps every
-prenormed band ON DEVICE and computes the global statistics with the
-exact jnp.percentile math (ops/normalize.stats_from_pre_channel) over the
-cached pixels; pass B then assembles its extraction bands from the cache.
+``config.device_prenorm_cache_bytes`` of HBM, pass A writes every
+prenormed band into ONE contiguous pre-padded HBM array and computes the
+global statistics with the exact jnp.percentile math
+(ops/normalize.stats_from_pre_channel) over the cached pixels; pass B is
+then a single packed chunk loop gathering windows straight off the cache
+(no band assembly, no full-band scale passes, no per-chunk re-pads).
 Each band is decoded once, uploaded once (in the SOURCE dtype — half the
 tunnel bytes of f32), and prenormed once, and the result is bit-identical
 to the single-shot path. Band decode runs one band ahead on a host
@@ -37,6 +40,7 @@ single-shot path automatically (engine/pipeline.py).
 
 from __future__ import annotations
 
+import functools
 from collections import deque
 
 import jax
@@ -51,7 +55,6 @@ from ribca_tpu.engine.pipeline import (
 from ribca_tpu.ops.extents import cell_extents
 from ribca_tpu.ops.normalize import (
     HIST_BINS,
-    band_apply_scale,
     band_prenorm,
     band_stats,
     halo_radius,
@@ -217,19 +220,42 @@ def compute_global_norm_stats(image, config, band_rows: int):
     )
 
 
-def prenorm_cached(image, config, band_rows: int):
+@functools.partial(jax.jit, donate_argnums=0)
+def _insert_band(cache, band, row0):
+    """Donated in-place row-block write into the contiguous prenorm
+    cache (row0 is traced: one program per band shape)."""
+    return jax.lax.dynamic_update_slice(cache, band, (0, row0, 0))
+
+
+@functools.partial(jax.jit, static_argnames=("pad",))
+def _pad_band(band, pad: int):
+    """One-window bottom/right zero pad, applied ONCE per band so
+    extract_patches(prepadded=True) never re-pads inside a chunk
+    dispatch (the pad values are never read into valid window
+    positions — window rows stay within the true band rows by the
+    band-assignment contract)."""
+    return jnp.pad(band, ((0, 0), (0, pad), (0, pad)))
+
+
+def prenorm_cached(image, config, band_rows: int, pad_extra: int = 0):
     """Pass A in single-upload cache mode.
 
     Each band of rows is decoded once (decode-ahead thread) and uploaded
     once in the SOURCE dtype over DISJOINT spans — Gaussian halo context is
     assembled on device from the neighboring raw bands, so the wire
-    carries every pixel exactly once. The prenormed interiors stay in HBM
-    and the global normalization scalars are computed from them with the
-    EXACT jnp.percentile math (no histogram approximation — bit-identical
-    to the single-shot path).
+    carries every pixel exactly once. The prenormed interiors land in ONE
+    contiguous ``(C, h+pad_extra, wb+pad_extra)`` f32 HBM cache via
+    donated in-place row writes; pixels beyond the written interiors stay
+    NaN (the masked-normalization pad contract). ``pad_extra`` is the
+    patch window: extraction gathers straight from the cache
+    (extract_patches ``prepadded=True`` with fused scaling), with no
+    per-band assembly/scale/zero passes and no per-chunk re-pad — at
+    500k-cell whole-slide scale those full-band copies were ~100 GB of
+    HBM traffic. Global normalization scalars use the EXACT
+    jnp.percentile math (no histogram approximation — bit-identical to
+    the single-shot path).
 
-    Returns (bands, thresh, denom, scaled_min, has_signal); ``bands[b]``
-    is the prenormed (C, rows_b, W) interior of band b, device-resident.
+    Returns (cache, thresh, denom, scaled_min, has_signal).
     """
     c, h, w = image.shape
     wb = band_width(w, config)
@@ -239,10 +265,13 @@ def prenorm_cached(image, config, band_rows: int):
     spans = [(s, min(s + band_rows, h)) for s in starts]
     n_b = len(spans)
     raw: list = [None] * n_b
-    bands: list = [None] * n_b
     blur = float(config.blur)
+    cache = jnp.full(
+        (c, h + pad_extra, wb + pad_extra), jnp.nan, jnp.float32
+    )
 
     def prenorm_one(i: int) -> None:
+        nonlocal cache
         s, e = spans[i]
         top = raw[i - 1][:, -halo:] if (i > 0 and halo) else None
         bot = raw[i + 1][:, :halo] if (i + 1 < n_b and halo) else None
@@ -259,7 +288,7 @@ def prenorm_cached(image, config, band_rows: int):
             x = jnp.pad(x, ((0, 0), (pad_top, pad_bot), (0, 0)),
                         mode="symmetric")
         pre = band_prenorm(x, blur=blur)
-        bands[i] = pre[:, halo : halo + (e - s)]
+        cache = _insert_band(cache, pre[:, halo : halo + (e - s)], s)
 
     for i, decoded in enumerate(_prefetch_spans(image, spans)):
         # canonical width: pad columns on host (symmetric), upload once
@@ -272,47 +301,30 @@ def prenorm_cached(image, config, band_rows: int):
         prenorm_one(n_b - 1)
 
     amax = float(config.upper_limit)
-    # canonical stats shape: pad the concatenated channel's rows with NaN
-    # up to a bucket so the (expensive) per-channel sort program is keyed
-    # on the bucket, not the exact slide height
+    # canonical stats shape: slice each channel's rows at a bucket so the
+    # (expensive) per-channel sort program is keyed on the bucket, not
+    # the exact slide height; cache rows beyond h are already NaN
     if getattr(config, "canonical_shapes", True):
         from ribca_tpu.ops.shapes import bucket_dim
 
         hb = bucket_dim(h, 0)
     else:
         hb = h
+    hp = h + pad_extra
     stats = []
     for i in range(c):  # per channel: sort workspace stays one channel
-        ch = (
-            jnp.concatenate([b[i] for b in bands], axis=0)
-            if len(bands) > 1 else bands[0][i]
-        )
-        if hb != h:
-            ch = jnp.pad(ch, ((0, hb - h), (0, 0)),
-                         constant_values=jnp.nan)
+        if hb <= hp:
+            ch = jax.lax.slice(cache, (i, 0, 0), (i + 1, hb, wb))[0]
+        else:
+            ch = jnp.pad(
+                jax.lax.slice(cache, (i, 0, 0), (i + 1, hp, wb))[0],
+                ((0, hb - hp), (0, 0)), constant_values=jnp.nan,
+            )
         stats.append(stats_from_pre_channel(ch, amax, valid_w=w))
     thresh, denom, scaled_min, has_signal = (
         jnp.stack([s[k] for s in stats]) for k in range(4)
     )
-    return bands, thresh, denom, scaled_min, has_signal
-
-
-def _ext_band_from_cache(bands, b: int, ext_rows: int):
-    """Assemble the prenormed extraction band [s, s+ext_rows) for band b
-    from the cached interiors (spills into following bands; zero-pads past
-    the image bottom — those rows are masked off by extract_patches)."""
-    pieces = [bands[b]]
-    rows = bands[b].shape[1]
-    nb = b + 1
-    while rows < ext_rows and nb < len(bands):
-        take = min(ext_rows - rows, bands[nb].shape[1])
-        pieces.append(bands[nb][:, :take])
-        rows += take
-        nb += 1
-    band = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, axis=1)
-    if rows < ext_rows:
-        band = jnp.pad(band, ((0, 0), (0, ext_rows - rows), (0, 0)))
-    return band
+    return cache, thresh, denom, scaled_min, has_signal
 
 
 def run_image_tiled(
@@ -351,10 +363,10 @@ def run_image_tiled(
     # single-upload cache mode: slide's f32 prenorm fits in HBM
     # (budgeted at the padded width actually cached)
     use_cache = bool(config.normalize) and (
-        c * h * wb * 4
+        c * (h + patch_size) * (wb + patch_size) * 4
         <= getattr(config, "device_prenorm_cache_bytes", 4 << 30)
     )
-    pre_bands = None
+    pre_cache = None
     if use_cache and auto_rows:
         # smaller bands pipeline decode/upload/compute against each other;
         # disjoint uploads make the extra band count free on the wire
@@ -372,8 +384,9 @@ def run_image_tiled(
             band_rows = 1 << (band_rows.bit_length() - 1)
     if use_cache:
         with trace_stage(tracer, "device.prenorm", quiet=True):
-            pre_bands, thresh, denom, scaled_min, has_signal = (
-                prenorm_cached(image, config, band_rows)
+            pre_cache, thresh, denom, scaled_min, has_signal = (
+                prenorm_cached(image, config, band_rows,
+                               pad_extra=patch_size)
             )
         min_val = scaled_min
         thresh_d = jax.device_put(thresh, rep)
@@ -448,84 +461,110 @@ def run_image_tiled(
                 int_parts.append(np.asarray(avg[:n_valid]))
             order_parts.append(idx)
 
-    cell_bands = sorted(set(band_of.tolist())) if n else []
-    if use_cache or not cell_bands:
-        raw_iter = iter(())  # cache mode: pass B reads nothing from host
+    def dispatch_piece(img_dev, mask_dev, piece, piece_idx, rec_off,
+                       row_offset, scale_args):
+        """One extract+submit dispatch over a (bucketed) cell piece."""
+        n_valid = len(piece)
+        size = chunk_size_for(max(n_valid, 1), chunk, n_dev)
+        with trace_stage(tracer, "device.extract", quiet=True):
+            args = [
+                jax.device_put(pad_cells_arr(a, size), sh)
+                for a in (
+                    piece, ext.rmin[piece], ext.rmax[piece],
+                    ext.cmin[piece], ext.cmax[piece],
+                )
+            ]
+            cell_arr, rmn, rmx, cmn, cmx = args
+            patches, avg_int = extract_patches(
+                img_dev, min_val, mask_dev, cell_arr, rmn, rmx,
+                cmn, cmx,
+                patch_size=patch_size, row_offset=row_offset, full_h=h,
+                full_w=w, prepadded=True, **scale_args,
+            )
+            packer.submit(patches, n_valid, sink, rec_off)
+        inflight.append((avg_int, n_valid, piece_idx))
+        drain(packer.prefetch_depth)
+
+    if use_cache:
+        # global packed chunk loop straight off the contiguous cache
+        # (mirrors engine.pipeline.run_image): no per-band assembly, no
+        # per-band program boundaries, full-valid dispatch buckets
+        with trace_stage(tracer, "device.band_assemble", quiet=True):
+            mask_pad = np.zeros(
+                (h + patch_size, wb + patch_size), np.int32
+            )
+            mask_pad[:h, :w] = mask
+            mask_dev = jax.device_put(mask_pad, rep)
+        scale_args = dict(thresh=thresh_d, denom=denom_d,
+                          has_signal=signal_d)
+        for start in range(0, n, chunk):
+            stop = min(start + chunk, n)
+            dispatch_piece(pre_cache, mask_dev, ids[start:stop],
+                           np.arange(start, stop), start, 0, scale_args)
     else:
-        spans = []
+        cell_bands = sorted(set(band_of.tolist())) if n else []
+        if not cell_bands:
+            raw_iter = iter(())
+        else:
+            spans = []
+            for b in cell_bands:
+                s = b * band_rows
+                e = min(s + band_rows, h)
+                spans.append(
+                    (max(s - halo, 0), min(e + patch_size + halo, h))
+                )
+            raw_iter = _prefetch_spans(image, spans)
+
         for b in cell_bands:
             s = b * band_rows
             e = min(s + band_rows, h)
-            spans.append(
-                (max(s - halo, 0), min(e + patch_size + halo, h))
-            )
-        raw_iter = _prefetch_spans(image, spans)
-
-    for b in cell_bands:
-        s = b * band_rows
-        e = min(s + band_rows, h)
-        # extraction rows [s, e + patch), prenorm needs halo around them
-        lo = max(s - halo, 0)
-        if use_cache:
-            with trace_stage(tracer, "device.band_assemble", quiet=True):
-                pre_ext = _ext_band_from_cache(pre_bands, b, ext_rows)
-                band_img = band_apply_scale(pre_ext, thresh_d, denom_d,
-                                            signal_d)
-        elif config.normalize:
-            raw = next(raw_iter)
-            pre = band_prenorm(
-                jax.device_put(
-                    jnp.asarray(_pad_cols(
-                        _pad_rows(raw, in_rows, mode="symmetric"), wb
-                    )),
-                    rep,
-                ),
-                blur=float(config.blur),
-            )
-            band_norm = band_apply_scale(pre, thresh_d, denom_d, signal_d)
-            start_local = s - lo
-            band_img = jax.lax.dynamic_slice_in_dim(
-                band_norm, start_local, ext_rows, axis=1
-            )
-        else:
-            raw = next(raw_iter)
-            band_img = jnp.asarray(_pad_cols(
-                _pad_rows(raw[:, s - lo :], ext_rows, mode="symmetric"), wb
-            )).astype(jnp.float32)
-        band_zero = band_img - min_val[:, None, None]
-
-        mask_band = _pad_cols(
-            _pad_rows(mask[s : e + patch_size], ext_rows), wb,
-            mode="constant",
-        )
-        mask_dev = jax.device_put(mask_band, rep)
-
-        sel_idx = np.nonzero(band_of == b)[0]
-        sel = ids[sel_idx]
-        for start in range(0, len(sel), chunk):
-            stop = min(start + chunk, len(sel))
-            piece = sel[start:stop]
-            piece_idx = sel_idx[start:stop]
-            n_valid = len(piece)
-            size = chunk_size_for(max(n_valid, 1), chunk, n_dev)
-            with trace_stage(tracer, "device.extract", quiet=True):
-                args = [
-                    jax.device_put(pad_cells_arr(a, size), sh)
-                    for a in (
-                        piece, ext.rmin[piece], ext.rmax[piece],
-                        ext.cmin[piece], ext.cmax[piece],
-                    )
-                ]
-                cell_arr, rmn, rmx, cmn, cmx = args
-                patches, avg_int = extract_patches(
-                    band_zero, min_val, mask_dev, cell_arr, rmn, rmx,
-                    cmn, cmx,
-                    patch_size=patch_size, row_offset=s, full_h=h,
-                    full_w=w,
+            # extraction rows [s, e + patch), prenorm needs halo context
+            lo = max(s - halo, 0)
+            if config.normalize:
+                raw = next(raw_iter)
+                pre = band_prenorm(
+                    jax.device_put(
+                        jnp.asarray(_pad_cols(
+                            _pad_rows(raw, in_rows, mode="symmetric"), wb
+                        )),
+                        rep,
+                    ),
+                    blur=float(config.blur),
                 )
-                packer.submit(patches, n_valid, sink, piece_idx)
-            inflight.append((avg_int, n_valid, piece_idx))
-            drain(packer.prefetch_depth)
+                # scale + min shift fuse into the window kernel; the
+                # one-window pad is applied ONCE per band, not per chunk
+                band_img = _pad_band(
+                    jax.lax.dynamic_slice_in_dim(
+                        pre, s - lo, ext_rows, axis=1
+                    ),
+                    patch_size,
+                )
+                scale_args = dict(thresh=thresh_d, denom=denom_d,
+                                  has_signal=signal_d)
+            else:
+                raw = next(raw_iter)
+                band_img = jnp.asarray(_pad_cols(
+                    _pad_rows(raw[:, s - lo :], ext_rows + patch_size,
+                              mode="symmetric"),
+                    wb + patch_size,
+                )).astype(jnp.float32) - min_val[:, None, None]
+                scale_args = {}
+
+            mask_band = _pad_cols(
+                _pad_rows(mask[s : e + patch_size],
+                          ext_rows + patch_size),
+                wb + patch_size,
+                mode="constant",
+            )
+            mask_dev = jax.device_put(mask_band, rep)
+
+            sel_idx = np.nonzero(band_of == b)[0]
+            sel = ids[sel_idx]
+            for start in range(0, len(sel), chunk):
+                stop = min(start + chunk, len(sel))
+                piece_idx = sel_idx[start:stop]
+                dispatch_piece(band_img, mask_dev, sel[start:stop],
+                               piece_idx, piece_idx, s, scale_args)
     drain(0)
     if local_packer:
         with trace_stage(tracer, "device.finalize", quiet=True):

@@ -214,6 +214,7 @@ def extract_labeled_patches(image, mask, types, config=None, mesh=None):
             pad(ext.rmin[sel]), pad(ext.rmax[sel]),
             pad(ext.cmin[sel]), pad(ext.cmax[sel]),
             patch_size=patch_size, full_h=h, full_w=w,
+            prepadded=True,  # preprocess_image pads one window
         )
         parts.append(np.asarray(patches)[: len(sel)])
     patches = (

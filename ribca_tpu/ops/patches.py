@@ -34,6 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ribca_tpu.ops.gaussian import gaussian_blur
+from ribca_tpu.ops.normalize import PCT_GUARD
 
 OUT_SIZE = 40
 SMOOTH_EPS = 1e-6
@@ -86,15 +87,16 @@ def apply_panel_gather(patches: jnp.ndarray, pg: PanelGather) -> jnp.ndarray:
 
 
 def _gather_windows(img_zero, mask, rmin, rmax, cmin, cmax, patch_size,
-                    offset, row_offset, full_h, full_w):
+                    offset, row_offset, full_h, full_w, band_h):
     """Window gather; ``img_zero``/``mask`` may be a row BAND of the full
     image starting at global row ``row_offset`` (engine/tiled.py), in which
     case ``full_h`` is the full image height for the bottom-clamp
     semantics (utils.py:239-240). ``full_w`` is the true image width —
     shape-bucketed uploads (ops/shapes.py) carry pad columns beyond it
     whose pixels (NaN after masked normalization) must read as
-    out-of-image. Callers guarantee each cell's window rows fall inside
-    the band (+halo).
+    out-of-image. ``band_h`` is the number of true band rows (inputs here
+    are already padded one window past it). Callers guarantee each cell's
+    window rows fall inside the band (+halo).
 
     Implemented as a vmapped ``dynamic_slice`` over inputs zero-padded by
     one window: XLA lowers it to ONE block gather of contiguous
@@ -103,14 +105,13 @@ def _gather_windows(img_zero, mask, rmin, rmax, cmin, cmax, patch_size,
     replaces cost 232 ms (~2/3 of a whole ViT-s forward); this
     formulation is 47 ms (5x), taking extract_patches 270 -> 110 ms. The
     pad guarantees no start is ever clamped, so windows running past the
-    band edge read zeros instead of shifted pixels; the validity mask
-    then zeroes out-of-image positions exactly as before (bit-identical
-    outputs, tests/test_ops.py oracle)."""
-    band_h = mask.shape[0]
+    band edge read pad values instead of shifted pixels; the validity
+    mask then zeroes out-of-image positions (bit-identical outputs,
+    tests/test_ops.py oracle). Returns RAW windows plus the validity
+    mask so the caller can fuse per-pixel rescaling before the
+    validity select."""
     p = patch_size
     c = img_zero.shape[0]
-    imgp = jnp.pad(img_zero, ((0, 0), (0, p), (0, p)))
-    maskp = jnp.pad(mask, ((0, p), (0, p)))
 
     def one(rmn, rmx, cmn, cmx):
         x_mean = (rmn + rmx) // 2
@@ -118,19 +119,15 @@ def _gather_windows(img_zero, mask, rmin, rmax, cmin, cmax, patch_size,
         xmin = jnp.maximum(x_mean - offset, 0)
         ymin = jnp.maximum(y_mean - offset, 0)
         xl = xmin - row_offset  # in [0, band_h) by the caller contract
-        ip = jax.lax.dynamic_slice(imgp, (0, xl, ymin), (c, p, p))
-        mp = jax.lax.dynamic_slice(maskp, (xl, ymin), (p, p))
+        ip = jax.lax.dynamic_slice(img_zero, (0, xl, ymin), (c, p, p))
+        mp = jax.lax.dynamic_slice(mask, (xl, ymin), (p, p))
         rows = xmin + jnp.arange(p)  # global rows
         cols = ymin + jnp.arange(p)
         local = rows - row_offset
         vr = (rows < full_h) & (local >= 0) & (local < band_h)
         vc = cols < full_w
         valid = vr[:, None] & vc[None, :]
-        # where-select, not multiply: pad pixels are NaN and NaN*0 = NaN
-        return (
-            jnp.where(valid[None], ip, 0.0),
-            jnp.where(valid, mp, 0),
-        )
+        return ip, mp, valid
 
     return jax.vmap(one)(rmin, rmax, cmin, cmax)
 
@@ -180,7 +177,9 @@ def _resize_nearest_aa(x: jnp.ndarray, in_size: int, out_size: int):
 # -- main kernel ---------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("patch_size", "out_size"))
+@functools.partial(
+    jax.jit, static_argnames=("patch_size", "out_size", "prepadded")
+)
 def extract_patches(
     img_zero: jnp.ndarray,   # (C, H, W) f32, channel-min already subtracted
     min_val: jnp.ndarray,    # (C,) per-channel minima
@@ -193,22 +192,57 @@ def extract_patches(
     row_offset=0,            # band-mode: global row of img_zero[., 0, .]
     full_h=None,             # band-mode: full image height
     full_w=None,             # bucketed uploads: true image width
+    prepadded: bool = False,  # img/mask already carry a +patch pad
+    thresh=None,             # (C,) fused-normalization scalars: when given,
+    denom=None,              # ``img_zero`` holds PRE-normalized pixels
+    has_signal=None,         # (band_prenorm output) and steps 3-5 + the
+                             # min shift run per WINDOW inside this kernel
 ):
-    """Returns (patches (N,C,out,out) f32, avg_int (N,C) f32)."""
+    """Returns (patches (N,C,out,out) f32, avg_int (N,C) f32).
+
+    ``prepadded=True`` skips the internal one-window bottom/right pad:
+    big-image callers pad ONCE (or allocate the prenorm cache prepadded)
+    instead of re-padding the full image inside every chunk dispatch —
+    at whole-slide scale the per-chunk pad was ~0.8 GB of HBM traffic
+    per dispatch. With ``thresh/denom/has_signal`` the global
+    normalization scale (ops/normalize.band_apply_scale) and the
+    ``- min_val`` shift apply to the gathered windows only — fused into
+    the gather's output write, eliminating two more full-band passes.
+    Per-pixel f32 elementwise chains are identical either way, so
+    results stay bit-equal to the unfused path."""
     p = int(patch_size)
     # int(max(x_mean - P/2, 0)): floor for positive values -> ceil(P/2) offset
     # when P is odd, P//2 when even
     offset = p // 2 if p % 2 == 0 else (p + 1) // 2
+    band_h = mask.shape[0] - p if prepadded else mask.shape[0]
     if full_h is None:
-        full_h = mask.shape[0]
+        full_h = band_h
     if full_w is None:
-        full_w = mask.shape[1]
+        full_w = mask.shape[1] - p if prepadded else mask.shape[1]
 
-    ip, mp = _gather_windows(
-        img_zero, mask, rmin, rmax, cmin, cmax, p, offset,
+    if prepadded:
+        imgp, maskp = img_zero, mask
+    else:
+        imgp = jnp.pad(img_zero, ((0, 0), (0, p), (0, p)))
+        maskp = jnp.pad(mask, ((0, p), (0, p)))
+
+    ip, mp, valid = _gather_windows(
+        imgp, maskp, rmin, rmax, cmin, cmax, p, offset,
         jnp.asarray(row_offset, jnp.int32), jnp.asarray(full_h, jnp.int32),
-        jnp.asarray(full_w, jnp.int32),
+        jnp.asarray(full_w, jnp.int32), jnp.asarray(band_h, jnp.int32),
     )
+    if thresh is not None:
+        # ops/normalize.band_apply_scale + the min shift, op-for-op on the
+        # window pixels (bitwise equal to applying them band-wide)
+        t = thresh[None, :, None, None]
+        d = denom[None, :, None, None]
+        s = has_signal[None, :, None, None]
+        clipped = jnp.where(t > PCT_GUARD, jnp.clip(ip, 0.0, t), ip)
+        scaled = 2.0 * (clipped / d) - 1.0
+        ip = jnp.where(s, scaled, -1.0) - min_val[None, :, None, None]
+    # where-select, not multiply: pad pixels are NaN and NaN*0 = NaN
+    ip = jnp.where(valid[:, None], ip, 0.0)
+    mp = jnp.where(valid, mp, 0)
     cm = (mp == cell_ids[:, None, None]).astype(jnp.float32)
     sm = _soft_mask(cm)
 

@@ -91,12 +91,15 @@ def test_soft_mask_matches_oracle():
 
     ext = cell_extents(mask)
     cid = 2
-    ip, mp = _gather_windows(
-        jnp.zeros((1, 60, 60)), jnp.asarray(mask),
+    ip, mp, valid = _gather_windows(
+        jnp.pad(jnp.zeros((1, 60, 60)), ((0, 0), (0, 40), (0, 40))),
+        jnp.pad(jnp.asarray(mask), ((0, 40), (0, 40))),
         jnp.asarray([ext.rmin[cid]]), jnp.asarray([ext.rmax[cid]]),
         jnp.asarray([ext.cmin[cid]]), jnp.asarray([ext.cmax[cid]]),
         40, 20, jnp.int32(0), jnp.int32(60), jnp.int32(60),
+        jnp.int32(60),
     )
+    mp = jnp.where(valid, mp, 0)
     sm = np.asarray(_soft_mask((np.asarray(mp) == cid).astype(np.float32)))[0]
     _, avg = None, None
     ref_marker, _ = oracle_crop_cell(

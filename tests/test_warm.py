@@ -48,9 +48,10 @@ def cfg(tmp_path):
 def test_warm_cache_counts_programs(cfg, tmp_path):
     a = Annotator(cfg, models_dir=str(tmp_path / "empty"))
     # ladder {64, 128} -> 2 ensemble programs; one shape bucket adds
-    # normalize (per source dtype: uint16 + f32) + 2 extraction programs
+    # normalize (per source dtype: uint16 + f32) + the one-window NaN
+    # pad + 2 extraction programs
     n = a.warm_cache(image_shapes=[(100, 90), (120, 110)])
-    assert n == 2 + 2 + 2
+    assert n == 2 + 2 + 1 + 2
     # backend compiles may be FEWER than n: the conftest's persistent
     # test cache absorbs repeat lowerings across pytest runs (cache hits
     # emit no backend_compile event on CPU). The listener itself is
