@@ -117,6 +117,10 @@ class Annotator:
         self.colors: list = []
         self.tissue_regions: list[dict] | None = None
         self._runner = None
+        # colorize_prefetch state (overlaps PNG render with device stages)
+        self._colorize_thread = None
+        self._colorize_err: BaseException | None = None
+        self._colorize_args: tuple | None = None
         # multi-host runs: manifest indices of THIS host's slides, so
         # per-image output filenames keep their global numbering
         self._global_indices: list[int] | None = None
@@ -677,10 +681,69 @@ class Annotator:
             working_dir = os.path.join(self.main_dir, "_working_dir_temp")
 
         with self.logger.stage("outputs.colorize"):
-            self._colorize(tindex, tissue_colors, from_script, working_dir)
+            if self._colorize_join() and self._colorize_args == (
+                from_script, working_dir
+            ):
+                # cell-type/confidence maps already rendered by the
+                # prefetch thread (overlapped with the device-bound
+                # tissue-region stage); only the tissue maps remain
+                self._colorize(tindex, tissue_colors, from_script,
+                               working_dir, want_cell_maps=False)
+            else:
+                self._colorize(tindex, tissue_colors, from_script,
+                               working_dir)
+
+    def colorize_prefetch(self, from_script: bool = True,
+                          working_dir: str | None = None) -> None:
+        """Start rendering the tissue-region-independent colorized maps
+        (cell-type + confidence) on a background thread, so their LUT
+        paint + PNG encode overlap the device-bound
+        ``tissue_region_analysis`` / ``neighborhood_analysis`` stages
+        (the painter and PNG encoder run outside the GIL).
+        ``colorize()`` joins the thread and paints only the remaining
+        tissue maps; pass the same ``from_script``/``working_dir`` it
+        will be called with, or the prefetch is discarded and colorize
+        renders everything itself."""
+        if not self.records or not self.annotations:
+            return
+        if self._colorize_thread is not None:
+            return
+        import threading
+
+        tindex = self._type_index()
+        if working_dir is None:
+            working_dir = os.path.join(self.main_dir, "_working_dir_temp")
+        self._colorize_err = None
+        self._colorize_args = (from_script, working_dir)
+
+        def work():
+            try:
+                with self.logger.stage("outputs.colorize", quiet=True):
+                    self._colorize(tindex, None, from_script, working_dir,
+                                   want_tissue=False)
+            except BaseException as e:  # re-raised at join
+                self._colorize_err = e
+
+        self._colorize_thread = threading.Thread(
+            target=work, daemon=True, name="colorize-prefetch"
+        )
+        self._colorize_thread.start()
+
+    def _colorize_join(self) -> bool:
+        """Wait for a pending colorize_prefetch; True if one completed."""
+        t = self._colorize_thread
+        if t is None:
+            return False
+        t.join()
+        self._colorize_thread = None
+        if self._colorize_err is not None:
+            err, self._colorize_err = self._colorize_err, None
+            raise err
+        return True
 
     def _colorize(self, tindex, tissue_colors, from_script,
-                  working_dir) -> None:
+                  working_dir, want_cell_maps: bool = True,
+                  want_tissue: bool = True) -> None:
         for i, rec in enumerate(self.records):
             type_ids = np.asarray(
                 [tindex[lab] for lab in self.annotations[i]], dtype=np.int64
@@ -690,20 +753,23 @@ class Annotator:
                 self.colors,
                 tissue_regions=(
                     self.tissue_regions[i]
-                    if self.tissue_regions is not None else None
+                    if want_tissue and self.tissue_regions is not None
+                    else None
                 ),
-                tissue_colors=tissue_colors,
+                tissue_colors=tissue_colors if want_tissue else None,
                 want_labels=not from_script,
+                want_cell_maps=want_cell_maps,
             )
             rd, bid = self.result_dir, self.batch_id
-            save_png(
-                os.path.join(rd, f"{bid}_colorized_annotation_{self._image_tag(i)}.png"),
-                maps["cell_type_rgb"],
-            )
-            save_png(
-                os.path.join(rd, f"{bid}_confidence_{self._image_tag(i)}.png"),
-                maps["confidence_rgb"],
-            )
+            if want_cell_maps:
+                save_png(
+                    os.path.join(rd, f"{bid}_colorized_annotation_{self._image_tag(i)}.png"),
+                    maps["cell_type_rgb"],
+                )
+                save_png(
+                    os.path.join(rd, f"{bid}_confidence_{self._image_tag(i)}.png"),
+                    maps["confidence_rgb"],
+                )
             if "tissue_rgb" in maps:
                 save_png(
                     os.path.join(rd, f"{bid}_tissue_region_{self._image_tag(i)}.png"),
@@ -711,16 +777,17 @@ class Annotator:
                 )
             if not from_script:
                 os.makedirs(working_dir, exist_ok=True)
-                save_png(
-                    os.path.join(working_dir, "output_img.png"),
-                    maps["cell_type_labels"],
-                )
+                if want_cell_maps:
+                    save_png(
+                        os.path.join(working_dir, "output_img.png"),
+                        maps["cell_type_labels"],
+                    )
                 if "tissue_labels" in maps:
                     save_png(
                         os.path.join(working_dir, "output_img_2.png"),
                         maps["tissue_labels"],
                     )
-        if tissue_colors is not None:
+        if want_tissue and tissue_colors is not None:
             color_legend(
                 self.result_dir,
                 {

@@ -29,6 +29,10 @@ def _pipeline(annotator: Annotator, bs, n_regions, working_dir=None):
     annotator.preprocess()
     annotator.predict(bs)
     annotator.generate_heatmap(integrate=True)
+    # overlap the region-independent colorized-map render with the
+    # device-bound analytics stages (annotator.colorize_prefetch)
+    annotator.colorize_prefetch(from_script=working_dir is None,
+                                working_dir=working_dir)
     if n_regions and n_regions > 0:
         annotator.tissue_region_analysis(n_regions)
     annotator.neighborhood_analysis(integrate=True, normalize=True)

@@ -25,6 +25,10 @@ def _run_pipeline(annotator: Annotator, bs: int, n_regions: int,
     annotator.preprocess()
     annotator.predict(bs)
     annotator.generate_heatmap(integrate=True)
+    # render the region-independent colorized maps on a host thread while
+    # the device computes tissue regions / neighborhoods; colorize() below
+    # joins it and paints only the tissue maps
+    annotator.colorize_prefetch(from_script=True)
     if reference_ordering:
         annotator.export_annotations()
         if n_regions > 0:

@@ -61,6 +61,7 @@ def colorize_image(
     tissue_regions: dict | None = None,
     tissue_colors=None,
     want_labels: bool = True,
+    want_cell_maps: bool = True,
 ):
     """Render all maps for one image.
 
@@ -69,25 +70,31 @@ def colorize_image(
     ``tissue_regions`` is given. The integer label maps exist only for
     the GUI napari layers (model.py:845-858); ``want_labels=False``
     skips painting them (script runs never read them).
+    ``want_cell_maps=False`` paints only the tissue maps — the two map
+    families are independent LUT passes, so callers can render the
+    cell-type/confidence maps early (before tissue regions exist) and
+    finish with a tissue-only pass at no duplicated paint cost.
     """
     max_id = int(mask.max())
     n = max_id + 1
 
-    rgb_table = np.zeros((n, 3), dtype=np.uint8)
-    conf_table = np.zeros((n, 3), dtype=np.uint8)
+    out = {}
+    if want_cell_maps:
+        rgb_table = np.zeros((n, 3), dtype=np.uint8)
+        conf_table = np.zeros((n, 3), dtype=np.uint8)
 
-    palette = np.asarray(colors, dtype=np.uint8)
-    rgb_table[cell_ids] = palette[type_ids]
-    conf_table[cell_ids] = viridis_lut(confidence, reject_gray=GRAY)
+        palette = np.asarray(colors, dtype=np.uint8)
+        rgb_table[cell_ids] = palette[type_ids]
+        conf_table[cell_ids] = viridis_lut(confidence, reject_gray=GRAY)
 
-    out = {
-        "cell_type_rgb": _lut_paint(mask, rgb_table),
-        "confidence_rgb": _lut_paint(mask, conf_table),
-    }
-    if want_labels:
-        label_table = np.zeros(n, dtype=np.uint8)
-        label_table[cell_ids] = (np.asarray(type_ids) + 1).astype(np.uint8)
-        out["cell_type_labels"] = _lut_paint(mask, label_table)
+        out["cell_type_rgb"] = _lut_paint(mask, rgb_table)
+        out["confidence_rgb"] = _lut_paint(mask, conf_table)
+        if want_labels:
+            label_table = np.zeros(n, dtype=np.uint8)
+            label_table[cell_ids] = (
+                np.asarray(type_ids) + 1
+            ).astype(np.uint8)
+            out["cell_type_labels"] = _lut_paint(mask, label_table)
 
     if tissue_regions is not None and tissue_colors is not None:
         tissue_palette = np.asarray(tissue_colors, dtype=np.uint8)

@@ -204,3 +204,56 @@ def test_min_cells_triggers_discovery(workdir, fixture_paths):
         for l in ann.annotations[0]
     )
     assert np.all(ann.confidence[0] == -1)
+
+
+def test_colorize_prefetch_matches_direct(workdir, fixture_paths):
+    """colorize_prefetch + colorize produces byte-identical maps to the
+    direct colorize call, with the tissue maps rendered post-join."""
+    img_path, mask_path, marker_file = fixture_paths
+    outs = {}
+    for tag, prefetch in (("direct", False), ("pre", True)):
+        main_dir = workdir / f"cpf_{tag}"
+        main_dir.mkdir()
+        csv = str(main_dir / "images.csv")
+        write_manifest([(img_path, mask_path)], csv)
+        cfg = AnnotatorConfig(
+            marker_file=marker_file, csv_file=csv, main_dir=str(main_dir),
+            batch_id="c", infer=False, dtype="float32", n_regions=2,
+        )
+        ann = Annotator(cfg, models_dir=str(workdir / "nomodels"))
+        ann.preprocess()
+        ann.predict()
+        if prefetch:
+            ann.colorize_prefetch(from_script=True)
+        ann.tissue_region_analysis(2)
+        ann.colorize(from_script=True)
+        outs[tag] = {
+            name: (main_dir / "results" / f"c_{name}_0.png").read_bytes()
+            for name in ("colorized_annotation", "confidence",
+                         "tissue_region")
+        }
+        assert ann._colorize_thread is None
+    assert outs["direct"] == outs["pre"]
+
+
+def test_colorize_prefetch_arg_mismatch_falls_back(workdir, fixture_paths):
+    """A prefetch with different args is discarded: colorize re-renders
+    everything itself (no missing maps)."""
+    img_path, mask_path, marker_file = fixture_paths
+    main_dir = workdir / "cpf_mismatch"
+    main_dir.mkdir()
+    csv = str(main_dir / "images.csv")
+    write_manifest([(img_path, mask_path)], csv)
+    cfg = AnnotatorConfig(
+        marker_file=marker_file, csv_file=csv, main_dir=str(main_dir),
+        batch_id="m", infer=False, dtype="float32",
+    )
+    ann = Annotator(cfg, models_dir=str(workdir / "nomodels"))
+    ann.preprocess()
+    ann.predict()
+    ann.colorize_prefetch(from_script=True,
+                          working_dir=str(main_dir / "elsewhere"))
+    ann.colorize(from_script=True)  # default working_dir: args differ
+    rd = main_dir / "results"
+    assert (rd / "m_colorized_annotation_0.png").exists()
+    assert (rd / "m_confidence_0.png").exists()
