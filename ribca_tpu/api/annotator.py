@@ -718,7 +718,13 @@ class Annotator:
 
         def work():
             try:
-                with self.logger.stage("outputs.colorize", quiet=True):
+                # separate trace key: this stage's wall time OVERLAPS the
+                # device-bound analytics stages (it can exceed its CPU
+                # time on a busy host) — keeping it out of
+                # outputs.colorize stops trace readers from summing
+                # overlapped seconds into the critical path
+                with self.logger.stage("outputs.colorize_prefetch",
+                                       quiet=True):
                     self._colorize(tindex, None, from_script, working_dir,
                                    want_tissue=False)
             except BaseException as e:  # re-raised at join

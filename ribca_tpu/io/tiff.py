@@ -60,6 +60,26 @@ def read_image(path: str) -> np.ndarray:
 
 def read_mask(path: str) -> np.ndarray:
     """Read a 2-D instance segmentation mask (0=background, 1..N cells)."""
+    # whole-slide TIFF masks (hundreds of MB of int32) take the raw-strip
+    # pread fast path when available — PIL's page decode is several
+    # seconds of single-core time at that size
+    if path.lower().endswith((".tif", ".tiff")):
+        try:
+            from ribca_tpu.io.tiff_stream import TiffBandReader
+
+            reader = TiffBandReader(path)
+            try:
+                if (
+                    reader.nbytes >= (32 << 20)
+                    and reader.shape[0] == 1
+                    and reader._dirs[0] in reader._raw
+                ):
+                    arr = reader.read_band(0, reader.shape[1])[0]
+                    return arr.astype(np.int32, copy=False)
+            finally:
+                reader.close()
+        except (OSError, ValueError):
+            pass
     with Image.open(path) as im:
         n_frames = getattr(im, "n_frames", 1)
         arr = np.asarray(im)

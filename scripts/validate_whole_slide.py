@@ -152,15 +152,25 @@ def main() -> int:
     warm, trace, rd = once(marker_path, img_path, mask_path, models_dir,
                            "warm")
     acc, n = planted_accuracy(rd, types_path)
+    # third run in the SAME process — the persistent-server scenario
+    # (--serve): jitted programs, device params, and the XLA client stay
+    # resident, so this excludes the per-process server-side executable
+    # loads over the tunnel that dominate fresh-process "warm" runs
+    shutil.rmtree(os.path.dirname(rd), ignore_errors=True)
+    hot, hot_trace, rd = once(marker_path, img_path, mask_path, models_dir,
+                              "warm")
+    acc2, _ = planted_accuracy(rd, types_path)
 
     stages = {k: v for k, v in trace.items()
               if isinstance(v, float) and v >= 0.5}
     print(f"whole-slide 12288^2 x7, {n} cells: warm {warm:.0f}s "
-          f"({n / warm:,.0f} cells/s), cold {cold:.0f}s, "
-          f"planted accuracy {acc:.3f}")
+          f"({n / warm:,.0f} cells/s), in-process warm {hot:.0f}s "
+          f"({n / hot:,.0f} cells/s, server scenario), cold {cold:.0f}s, "
+          f"planted accuracy {acc:.3f}/{acc2:.3f}")
     for k, v in sorted(stages.items(), key=lambda kv: -kv[1]):
-        print(f"  {k}: {v:.1f}s")
-    ok = warm <= WALL_BOUND and acc >= ACC_BOUND
+        print(f"  {k}: {v:.1f}s (in-process "
+              f"{hot_trace.get(k, 0.0):.1f}s)")
+    ok = warm <= WALL_BOUND and acc >= ACC_BOUND and acc2 >= ACC_BOUND
     print(f"bounds: wall<={WALL_BOUND:.0f}s acc>={ACC_BOUND} "
           f"{'OK' if ok else 'FAIL'}")
     return 0 if ok else 1
