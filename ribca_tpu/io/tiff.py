@@ -20,6 +20,12 @@ from PIL import Image, ImageSequence
 # PIL refuses very large images by default; whole-slide inputs are legitimate.
 Image.MAX_IMAGE_PIXELS = None
 
+# read_mask routes single-page uncompressed TIFF masks at least this large
+# through the streaming reader's coalesced-pread path instead of PIL's page
+# decode (several seconds of single-core time at whole-slide size).
+# Module-level so tests can exercise the fast path on small fixtures.
+MASK_PREAD_MIN_BYTES = 32 << 20
+
 
 def _page_to_array(page: Image.Image) -> np.ndarray:
     arr = np.asarray(page)
@@ -70,7 +76,7 @@ def read_mask(path: str) -> np.ndarray:
             reader = TiffBandReader(path)
             try:
                 if (
-                    reader.nbytes >= (32 << 20)
+                    reader.nbytes >= MASK_PREAD_MIN_BYTES
                     and reader.shape[0] == 1
                     and reader._dirs[0] in reader._raw
                 ):

@@ -49,6 +49,21 @@ def test_single_page_and_mask(tmp_path):
     np.testing.assert_array_equal(read_mask(p2), mask % 256)
 
 
+def test_mask_pread_fast_path_byte_equal(tmp_path, monkeypatch):
+    """The >=32MB raw-strip pread route must match PIL's decode exactly."""
+    import ribca_tpu.io.tiff as tiff_mod
+
+    mask, _ = make_cells(h=96, w=130, n_cells=12)
+    p = str(tmp_path / "big_mask.tif")
+    Image.fromarray(mask.astype(np.int32)).save(p)
+    slow = read_mask(p)  # threshold not met: PIL path
+    monkeypatch.setattr(tiff_mod, "MASK_PREAD_MIN_BYTES", 1)
+    fast = read_mask(p)
+    assert fast.dtype == np.int32
+    np.testing.assert_array_equal(fast, slow)
+    np.testing.assert_array_equal(fast, mask)
+
+
 def test_reference_example_mask_reads():
     m = read_mask("/root/reference/examples/example_1_cell_mask.png")
     assert m.ndim == 2
