@@ -69,6 +69,32 @@ def _band_starts(h: int, band_rows: int) -> list[int]:
     return list(range(0, h, band_rows))
 
 
+# auto-budget headroom: fraction of the device's FREE memory the prenorm
+# cache may claim. The remainder covers in-flight patch buffers (~1.8 GB
+# at the auto prefetch depth), ensemble params, and XLA scratch.
+PRENORM_CACHE_FREE_FRACTION = 0.6
+_FALLBACK_CACHE_BYTES = 4 << 30
+
+
+def prenorm_cache_budget(config, mesh) -> int:
+    """Resolve ``config.device_prenorm_cache_bytes``: explicit values
+    (>= 0) pass through; -1 auto-sizes from the device's measured free
+    memory. Backends without ``memory_stats`` (CPU test meshes) fall back
+    to the historical 4 GB constant."""
+    b = getattr(config, "device_prenorm_cache_bytes", -1)
+    if b is not None and b >= 0:
+        return int(b)
+    try:
+        dev = next(iter(mesh.devices.flat))
+        stats = dev.memory_stats()
+        free = int(stats["bytes_limit"]) - int(stats["bytes_in_use"])
+        if free > 0:
+            return int(free * PRENORM_CACHE_FREE_FRACTION)
+    except Exception:
+        pass
+    return _FALLBACK_CACHE_BYTES
+
+
 def _prefetch_spans(image, spans):
     """Yield ``image[:, lo:hi]`` for each (lo, hi) span, decoding one span
     ahead on a host thread so IO overlaps device work (SURVEY §5 "host
@@ -364,7 +390,7 @@ def run_image_tiled(
     # (budgeted at the padded width actually cached)
     use_cache = bool(config.normalize) and (
         c * (h + patch_size) * (wb + patch_size) * 4
-        <= getattr(config, "device_prenorm_cache_bytes", 4 << 30)
+        <= prenorm_cache_budget(config, mesh)
     )
     pre_cache = None
     if use_cache and auto_rows:

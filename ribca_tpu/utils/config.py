@@ -72,8 +72,11 @@ class AnnotatorConfig:
     device_image_budget_bytes: int = 2 << 30
     # banded runs whose f32 prenorm fits this many bytes of HBM keep it
     # device-resident: one decode + one upload per band, exact statistics
-    # (engine/tiled.py cache mode)
-    device_prenorm_cache_bytes: int = 4 << 30
+    # (engine/tiled.py cache mode). -1 = auto-size from the device's
+    # actual free memory (leaving headroom for in-flight patch buffers
+    # and XLA scratch); the two-pass histogram flow reads every pixel
+    # twice, so a bigger true budget is a direct whole-slide win.
+    device_prenorm_cache_bytes: int = -1
     # TIFF stacks above this decoded size are opened as streaming readers
     # so band decode overlaps upload/compute inside one slide (the banded
     # cache mode keeps the result bit-identical to the single-shot path)

@@ -112,7 +112,9 @@ def test_tiled_cache_mode_bit_exact(runner, fixture):
     img, mask = fixture
     cfg = AnnotatorConfig(normalize=True, blur=0.3, upper_limit=99.8,
                           canonical_shapes=False)
-    assert img.size * 4 <= cfg.device_prenorm_cache_bytes
+    from ribca_tpu.engine.tiled import prenorm_cache_budget
+
+    assert img.size * 4 <= prenorm_cache_budget(cfg, runner.mesh)
     whole = run_image(img, mask, cfg, runner)
     reader = CountingReader(img)
     tiled = run_image_tiled(reader, mask, cfg, runner, band_rows=160)
@@ -213,3 +215,40 @@ def test_auto_dispatch_by_budget(runner, fixture):
         whole.panel_probs["immune_base"], rec.panel_probs["immune_base"],
         atol=1e-6,
     )
+
+
+def test_prenorm_cache_budget_resolution(runner):
+    """Explicit budgets pass through; -1 auto-sizes from memory_stats
+    and falls back to 4 GB on backends without them."""
+    from ribca_tpu.engine.tiled import (
+        PRENORM_CACHE_FREE_FRACTION,
+        prenorm_cache_budget,
+    )
+
+    class Cfg:
+        device_prenorm_cache_bytes = 123
+
+    assert prenorm_cache_budget(Cfg(), runner.mesh) == 123
+
+    class Auto:
+        device_prenorm_cache_bytes = -1
+
+    class FakeDev:
+        def memory_stats(self):
+            return {"bytes_limit": 16 << 30, "bytes_in_use": 6 << 30}
+
+    class FakeMesh:
+        devices = np.array([FakeDev()], dtype=object)
+
+    assert prenorm_cache_budget(Auto(), FakeMesh()) == int(
+        (10 << 30) * PRENORM_CACHE_FREE_FRACTION
+    )
+
+    class NoStatsDev:
+        def memory_stats(self):
+            raise NotImplementedError
+
+    class NoStatsMesh:
+        devices = np.array([NoStatsDev()], dtype=object)
+
+    assert prenorm_cache_budget(Auto(), NoStatsMesh()) == 4 << 30
