@@ -73,25 +73,45 @@ def _band_starts(h: int, band_rows: int) -> list[int]:
 # cache may claim. The remainder covers in-flight patch buffers (~1.8 GB
 # at the auto prefetch depth), ensemble params, and XLA scratch.
 PRENORM_CACHE_FREE_FRACTION = 0.6
+# fraction of TOTAL HBM used when only the device kind is known (no
+# live memory_stats — e.g. remote/tunneled TPU backends return None):
+# conservative because in-use bytes are invisible.
+PRENORM_CACHE_TOTAL_FRACTION = 0.45
 _FALLBACK_CACHE_BYTES = 4 << 30
+# per-chip HBM by device_kind substring (jax Device.device_kind)
+_HBM_BY_KIND = (
+    ("v5 lite", 16 << 30), ("v5litepod", 16 << 30),
+    ("v5e", 16 << 30), ("v5p", 95 << 30),
+    ("v6 lite", 32 << 30), ("v6e", 32 << 30),
+    ("v4", 32 << 30), ("v3", 32 << 30), ("v2", 16 << 30),
+)
 
 
 def prenorm_cache_budget(config, mesh) -> int:
     """Resolve ``config.device_prenorm_cache_bytes``: explicit values
     (>= 0) pass through; -1 auto-sizes from the device's measured free
-    memory. Backends without ``memory_stats`` (CPU test meshes) fall back
-    to the historical 4 GB constant."""
+    memory, or from the device kind's known HBM when the backend reports
+    no stats (tunneled TPUs return None). Backends with neither (CPU
+    test meshes) fall back to the historical 4 GB constant."""
     b = getattr(config, "device_prenorm_cache_bytes", -1)
     if b is not None and b >= 0:
         return int(b)
     try:
         dev = next(iter(mesh.devices.flat))
-        stats = dev.memory_stats()
+    except Exception:
+        return _FALLBACK_CACHE_BYTES
+    try:
+        stats = dev.memory_stats() or {}
         free = int(stats["bytes_limit"]) - int(stats["bytes_in_use"])
         if free > 0:
             return int(free * PRENORM_CACHE_FREE_FRACTION)
     except Exception:
         pass
+    if getattr(dev, "platform", "") == "tpu":
+        kind = getattr(dev, "device_kind", "").lower()
+        for sub, hbm in _HBM_BY_KIND:
+            if sub in kind:
+                return int(hbm * PRENORM_CACHE_TOTAL_FRACTION)
     return _FALLBACK_CACHE_BYTES
 
 

@@ -6,8 +6,9 @@ proves the production scenario the framework is built for — a real
 whole-slide image through EVERY stage in one process:
 
   streaming decode (io/tiff_stream) -> banded normalize with the
-  single-upload HBM prenorm cache at ~4.2 GB (engine/tiled; the budget
-  edge) -> fused patch extraction + ensemble (cohort packer) -> voting ->
+  single-upload HBM prenorm cache at ~4.26 GB (engine/tiled; above the
+  old 4 GB constant, so this exercises the HBM-aware auto budget) ->
+  fused patch extraction + ensemble (cohort packer) -> voting ->
   tissue regions (grid-binned device kNN + device PCA/k-means) ->
   neighborhood -> heatmap/CSV/colorized maps/composition
   (reference pipeline sequence, gui_api.py:22-31).

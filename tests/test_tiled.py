@@ -252,3 +252,29 @@ def test_prenorm_cache_budget_resolution(runner):
         devices = np.array([NoStatsDev()], dtype=object)
 
     assert prenorm_cache_budget(Auto(), NoStatsMesh()) == 4 << 30
+
+
+def test_prenorm_cache_budget_tpu_kind_fallback():
+    """Tunneled TPUs report memory_stats()=None; the budget then comes
+    from the device kind's known HBM size."""
+    from ribca_tpu.engine.tiled import (
+        PRENORM_CACHE_TOTAL_FRACTION,
+        prenorm_cache_budget,
+    )
+
+    class Auto:
+        device_prenorm_cache_bytes = -1
+
+    class V5e:
+        platform = "tpu"
+        device_kind = "TPU v5 lite"
+
+        def memory_stats(self):
+            return None
+
+    class FakeMesh:
+        devices = np.array([V5e()], dtype=object)
+
+    assert prenorm_cache_budget(Auto(), FakeMesh()) == int(
+        (16 << 30) * PRENORM_CACHE_TOTAL_FRACTION
+    )
