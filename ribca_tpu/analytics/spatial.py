@@ -220,21 +220,34 @@ def neighborhood_analysis(
     result_dir: str = ".",
     batch_id: str = "",
     indices=None,
+    counts_list=None,
 ):
     """images: list of dicts with keys mean_row, mean_col, type_ids.
 
     Writes <batch>_integrated_neighborhood.{png,csv} or per-image
     <batch>_neighborhood_<i>.{png,csv}; returns the matrices.
     ``indices`` overrides the per-image filename numbering (multi-host
-    runs keep global manifest indices)."""
+    runs keep global manifest indices). ``counts_list`` (one
+    (N_i, T_i) per image, from tissue_region_partition's ``extra_k``
+    with extra_k == n_neighbors - 1) derives the matrices from the
+    already-run feature kNN pass instead of issuing new queries —
+    the caller is responsible for the k match."""
     t = len(cell_types)
+
+    def one_matrix(i, im):
+        if counts_list is not None:
+            return neighborhood_matrix_from_counts(
+                im["type_ids"], counts_list[i], t
+            )
+        return neighborhood_matrix(
+            im["mean_row"], im["mean_col"], im["type_ids"], t,
+            n_neighbors,
+        )
+
     if integrate:
         mat = np.zeros((t, t), dtype=np.float64)
-        for im in images:
-            mat += neighborhood_matrix(
-                im["mean_row"], im["mean_col"], im["type_ids"], t,
-                n_neighbors,
-            )
+        for i, im in enumerate(images):
+            mat += one_matrix(i, im)
         if normalize:
             mat = _row_normalize(mat)
         _plot_matrix(
@@ -250,9 +263,7 @@ def neighborhood_analysis(
     mats = []
     for i, im in enumerate(images):
         tag = indices[i] if indices is not None else i
-        mat = neighborhood_matrix(
-            im["mean_row"], im["mean_col"], im["type_ids"], t, n_neighbors
-        )
+        mat = one_matrix(i, im)
         if normalize:
             mat = _row_normalize(mat)
         _plot_matrix(
@@ -273,7 +284,8 @@ def multiscale_composition(
     type_ids: np.ndarray,
     n_types: int,
     ks=MULTISCALE_KS,
-) -> np.ndarray:
+    extra_k: int | None = None,
+):
     """(N, len(ks)*n_types) neighborhood type-composition features.
 
     One 200-NN query; per-k proportions come from a cumulative sum of the
@@ -283,16 +295,23 @@ def multiscale_composition(
     program (ops/knn.multiscale_features_device): each query block
     returns len(ks)*T floats per cell instead of kmax indices, so the
     host never materializes the (N, kmax, T) one-hot and the tunneled
-    chip transfers ~5x fewer bytes."""
+    chip transfers ~5x fewer bytes.
+
+    ``extra_k`` also returns the raw neighbor-type counts over each
+    cell's extra_k nearest from the SAME query — (feats, counts
+    (N, n_types)) — so the neighborhood co-occurrence matrix costs no
+    second kNN pass (see neighborhood_matrix_from_counts)."""
     coords = np.stack([mean_col, mean_row], axis=1)
     kmax = min(max(ks), len(coords) - 1)
+    ek = min(int(extra_k), kmax) if extra_k and kmax >= 1 else 0
 
     from ribca_tpu.ops.knn import DEVICE_KNN_MIN, multiscale_features_device
 
     if len(coords) >= DEVICE_KNN_MIN and tuple(ks) == MULTISCALE_KS:
         try:
             fused = multiscale_features_device(
-                coords, type_ids, n_types, ks
+                coords, type_ids, n_types, ks,
+                extra_k=extra_k,
             )
             if fused is not None:
                 return fused
@@ -301,6 +320,7 @@ def multiscale_composition(
     idx = _knn_indices(coords, kmax)
     n = len(coords)
     out = np.empty((n, len(ks) * n_types), dtype=np.float32)
+    extra_out = np.zeros((n, n_types), np.float32) if extra_k else None
     # blockwise: the (block, kmax, n_types) one-hot cumsum stays ~1 GB
     # instead of materializing (N, 200, T) — 15 GB at 10^6 cells
     block = max(1, (1 << 26) // max(kmax * n_types, 1))
@@ -326,7 +346,27 @@ def multiscale_composition(
                           where=total > 0)
             )
         out[s:e] = np.concatenate(feats, axis=1)
-    return out
+        if ek:
+            extra_out[s:e] = cum[:, ek - 1]
+    return (out, extra_out) if extra_k else out
+
+
+def neighborhood_matrix_from_counts(
+    type_ids: np.ndarray,
+    counts: np.ndarray,
+    n_types: int,
+) -> np.ndarray:
+    """T x T co-occurrence from per-cell neighbor-type counts (the
+    ``extra_k`` output of multiscale_composition): row i sums the counts
+    of every cell of type i — identical to neighborhood_matrix over the
+    same kNN answers, with zero additional queries."""
+    mat = np.zeros((n_types, n_types), dtype=np.float64)
+    if len(type_ids) and counts.size:
+        tc = counts.shape[1]
+        acc = np.zeros((n_types, tc), dtype=np.float64)
+        np.add.at(acc, np.asarray(type_ids, np.int64), counts)
+        mat[:, :tc] = acc
+    return mat
 
 
 def tissue_region_partition(
@@ -336,22 +376,32 @@ def tissue_region_partition(
     method: str = "kmeans",
     seed: int | None = None,
     logger=None,
+    extra_k: int | None = None,
 ):
     """Per image: multi-scale composition -> PCA(0.99) -> clustering.
 
-    Returns a list of {cell_id: region_label} dicts (one per image).
+    Returns a list of {cell_id: region_label} dicts (one per image);
+    with ``extra_k``, returns (that list, per-image neighbor-type counts
+    over each cell's extra_k nearest) — the counts ride along the
+    feature kNN pass for free, letting the orchestrator reuse them for
+    the neighborhood matrices instead of a second kNN sweep.
 
     An explicit ``seed`` pins the host sklearn path even at device scale:
     the device k-means is deterministic (maxmin seeding) but ignores the
     seed, so honoring a seeded request means running the clusterer the
     seed actually parameterizes."""
     out = []
+    counts_all = []
     for im in images:
         type_ids = np.asarray(im["type_ids"], dtype=np.int64)
         n_types = int(type_ids.max()) + 1 if len(type_ids) else 1
         feats = multiscale_composition(
-            im["mean_row"], im["mean_col"], type_ids, n_types
+            im["mean_row"], im["mean_col"], type_ids, n_types,
+            extra_k=extra_k,
         )
+        if extra_k:
+            feats, counts = feats
+            counts_all.append(counts)
 
         # whole-slide scale + default method: PCA + k-means on the mesh
         # (ops/cluster.py) — host sklearn is single-core minutes there.
@@ -418,4 +468,4 @@ def tissue_region_partition(
             int(cid): int(lab)
             for cid, lab in zip(im["cell_ids"], labels)
         })
-    return out
+    return (out, counts_all) if extra_k else out

@@ -511,6 +511,7 @@ class Annotator:
         )
 
     def merge_by_voting(self) -> None:
+        self._nbhd_counts = None  # annotations change -> counts stale
         self.annotations, self.confidence = [], []
         for rec in self.records:
             immune = structure = nerve = None
@@ -583,7 +584,19 @@ class Annotator:
         self, n_neighbors: int = 25, integrate: bool = True,
         normalize: bool = True,
     ):
-        """Reference default n_neighbors=25 via model.py:798."""
+        """Reference default n_neighbors=25 via model.py:798.
+
+        When a tissue-region pass already ran for these annotations, the
+        co-occurrence matrices derive from its cached neighbor-type
+        counts (same kNN answers, zero new queries) — a whole-slide
+        neighborhood stage drops from a full device kNN sweep to a host
+        scatter-add."""
+        cached = getattr(self, "_nbhd_counts", None)
+        counts_list = None
+        if cached is not None and cached[0] == n_neighbors - 1 and len(
+            cached[1]
+        ) == len(self.records):
+            counts_list = cached[1]
         with self.logger.stage("analytics.neighborhood"):
             return neighborhood_analysis(
                 self._analytics_images(), self.cell_types,
@@ -594,15 +607,25 @@ class Annotator:
                     [self._image_tag(i) for i in range(len(self.records))]
                     if self._global_indices is not None else None
                 ),
+                counts_list=counts_list,
             )
+
+    # neighborhood co-occurrence counts cached off the tissue-region
+    # feature kNN pass: the reference default n_neighbors=25 incl. self
+    # (model.py:798), so the extra slice rides at k=24
+    NEIGHBORHOOD_DEFAULT_NEIGHBORS = 25
 
     def tissue_region_analysis(self, n: int, method: str = "kmeans"):
         self.n_regions = n
+        extra_k = self.NEIGHBORHOOD_DEFAULT_NEIGHBORS - 1
         with self.logger.stage("analytics.regions"):
-            self.tissue_regions = tissue_region_partition(
+            self.tissue_regions, counts = tissue_region_partition(
                 self._analytics_images(), n, self.n_jobs, method=method,
-                logger=self.logger,
+                logger=self.logger, extra_k=extra_k,
             )
+            # reusable only while the annotations (hence type_ids) stand;
+            # merge_by_voting invalidates
+            self._nbhd_counts = (extra_k, counts)
         return self.tissue_regions
 
     # -- outputs ------------------------------------------------------------

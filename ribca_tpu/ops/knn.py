@@ -377,10 +377,15 @@ def knn_indices_binned(
 # the (N, k, T) one-hot tensor at all.
 
 
-def _ms_feats_from_idx(idx, types_pad, ks: tuple, n_types: int):
+def _ms_feats_from_idx(idx, types_pad, ks: tuple, n_types: int,
+                       extra_k: int = 0):
     """(Q, k) neighbor indices (-1 = none) -> (Q, len(ks)*T) composition
     features, cumulative-one-hot semantics identical to the host path
-    (analytics/spatial.multiscale_composition)."""
+    (analytics/spatial.multiscale_composition). ``extra_k`` > 0
+    additionally returns the RAW neighbor-type counts over the extra_k
+    nearest (Q, T) — the per-cell ingredient of the neighborhood
+    co-occurrence matrix (spatial_methods.py:36-40), so callers that
+    need both never run a second kNN pass."""
     nb = jnp.take(types_pad, jnp.maximum(idx, 0), axis=0)
     valid = (idx >= 0).astype(jnp.float32)
     onehot = jax.nn.one_hot(nb, n_types, dtype=jnp.float32)
@@ -390,32 +395,39 @@ def _ms_feats_from_idx(idx, types_pad, ks: tuple, n_types: int):
     counts = jnp.take(cum, ks_idx, axis=1)              # (Q, nks, T)
     tot = jnp.sum(counts, axis=-1, keepdims=True)
     feats = jnp.where(tot > 0, counts / jnp.maximum(tot, 1e-30), 0.0)
-    return feats.reshape(idx.shape[0], len(ks) * n_types)
+    extra = (
+        cum[:, extra_k - 1] if extra_k > 0
+        else jnp.zeros((idx.shape[0], n_types), jnp.float32)
+    )
+    return feats.reshape(idx.shape[0], len(ks) * n_types), extra
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "p", "ks", "n_types")
+    jax.jit, static_argnames=("k", "p", "ks", "n_types", "extra_k")
 )
 def _binned_feats_block(q_xy, q_ids, q_bin, table, pts_x, pts_y, nbx,
                         nby, types_pad, k: int, p: int, ks: tuple,
-                        n_types: int):
+                        n_types: int, extra_k: int = 0):
     idx, rk = _binned_block(q_xy, q_ids, q_bin, table, pts_x, pts_y,
                             nbx, nby, k, p)
-    return _ms_feats_from_idx(idx[:, 1:], types_pad, ks, n_types), rk
+    feats, extra = _ms_feats_from_idx(idx[:, 1:], types_pad, ks, n_types,
+                                      extra_k)
+    return feats, extra, rk
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "p_chunk", "ks", "n_types")
+    jax.jit, static_argnames=("k", "p_chunk", "ks", "n_types", "extra_k")
 )
 def _brute_feats_block(q_xy, q_ids, pts, n_valid, types_pad, k: int,
-                       p_chunk: int, ks: tuple, n_types: int):
+                       p_chunk: int, ks: tuple, n_types: int,
+                       extra_k: int = 0):
     idx = _knn_block(q_xy, q_ids, pts, n_valid, k, p_chunk)
-    return _ms_feats_from_idx(idx[:, 1:], types_pad, ks, n_types)
+    return _ms_feats_from_idx(idx[:, 1:], types_pad, ks, n_types, extra_k)
 
 
-def _host_feats_rows(xy, type_ids, n_types, k, ks, rows):
-    """Host-exact composition features for a subset of queries (the
-    bound-failed rows of the binned path)."""
+def _host_feats_rows(xy, type_ids, n_types, k, ks, rows, extra_k: int = 0):
+    """Host-exact composition features (and extra_k raw counts) for a
+    subset of queries (the bound-failed rows of the binned path)."""
     idx = _host_patch_indices(xy, k, rows)
     nb = type_ids[idx]                                   # (m, k)
     onehot = np.zeros((len(rows), k, n_types), np.float32)
@@ -429,7 +441,11 @@ def _host_feats_rows(xy, type_ids, n_types, k, ks, rows):
         tot = counts.sum(axis=1, keepdims=True)
         feats.append(np.divide(counts, tot, out=np.zeros_like(counts),
                                where=tot > 0))
-    return np.concatenate(feats, axis=1)
+    extra = (
+        cum[:, extra_k - 1]
+        if extra_k > 0 else np.zeros((len(rows), n_types), np.float32)
+    )
+    return np.concatenate(feats, axis=1), extra
 
 
 def multiscale_features_device(
@@ -438,15 +454,23 @@ def multiscale_features_device(
     n_types: int,
     ks,
     mesh=None,
-) -> np.ndarray | None:
+    extra_k: int | None = None,
+):
     """(N, len(ks)*n_types) multi-scale neighborhood composition features
     computed end-to-end on device; None when no device strategy applies
-    (caller falls back to the host path)."""
+    (caller falls back to the host path).
+
+    ``extra_k``: also return the raw neighbor-type counts over each
+    cell's extra_k nearest neighbors — (feats, counts (N, n_types)) —
+    from the SAME kNN pass (capped at kmax like every k). Lets the
+    orchestrator derive the neighborhood co-occurrence matrix without a
+    second device kNN sweep."""
     n = len(coords)
     kmax = min(max(ks), n - 1)
     if kmax <= 0 or n < DEVICE_KNN_MIN:
         return None
     ks_c = tuple(min(int(kk), kmax) for kk in ks)
+    ek = min(int(extra_k), kmax) if extra_k else 0
     mesh = mesh if mesh is not None else get_mesh()
     rep = replicated_sharding(mesh)
     types_pad = jax.device_put(
@@ -456,6 +480,10 @@ def multiscale_features_device(
     )
     nf = len(ks_c) * n_types
     out = np.empty((n, nf), np.float32)
+    extra_out = np.empty((n, n_types), np.float32) if ek else None
+
+    def result(feats):
+        return (feats, extra_out) if extra_k else feats
 
     if n >= BINNED_KNN_MIN:
         for bin_margin in BIN_MARGINS:
@@ -464,30 +492,38 @@ def multiscale_features_device(
                 continue
             rks = np.empty(n, np.float32)
             pending = []
+
+            def land(item):
+                s, m, f, x, r = item
+                out[s : s + m] = np.asarray(f)[:m]
+                if ek:
+                    extra_out[s : s + m] = np.asarray(x)[:m]
+                rks[s : s + m] = np.asarray(r)[:m]
+
             for start, qn, q_xy, q_ids, q_bin in su.blocks():
-                feats, rk = _binned_feats_block(
+                feats, extra, rk = _binned_feats_block(
                     q_xy, q_ids, q_bin, su.table_dev, su.pts_x,
                     su.pts_y, jnp.int32(su.nbx), jnp.int32(su.nby),
-                    types_pad, kmax, su.p, ks_c, n_types,
+                    types_pad, kmax, su.p, ks_c, n_types, ek,
                 )
-                pending.append((start, qn, feats, rk))
+                pending.append((start, qn, feats, extra, rk))
                 if len(pending) > 4:
-                    s, m, f, r = pending.pop(0)
-                    out[s : s + m] = np.asarray(f)[:m]
-                    rks[s : s + m] = np.asarray(r)[:m]
-            for s, m, f, r in pending:
-                out[s : s + m] = np.asarray(f)[:m]
-                rks[s : s + m] = np.asarray(r)[:m]
+                    land(pending.pop(0))
+            for item in pending:
+                land(item)
             failed = np.nonzero(
                 ~(rks <= su.bin_size * su.bin_size)
             )[0]
             if len(failed) <= max(n // 20, 1024):
                 if len(failed):
-                    out[failed] = _host_feats_rows(
+                    pf, px = _host_feats_rows(
                         su.xy, np.asarray(type_ids, np.int64), n_types,
-                        kmax, ks_c, failed,
+                        kmax, ks_c, failed, ek,
                     )
-                return out
+                    out[failed] = pf
+                    if ek:
+                        extra_out[failed] = px
+                return result(out)
             # grid mis-sized: escalate margin, else brute if affordable
 
     if n * (kmax + 1) > DEVICE_KNN_MAX_WORK:
@@ -502,6 +538,13 @@ def multiscale_features_device(
     n_valid = jnp.int32(n)
     sh = cell_sharding(mesh)
     pending = []
+
+    def land_brute(item):
+        s, m, f, x = item
+        out[s : s + m] = np.asarray(f)[:m]
+        if ek:
+            extra_out[s : s + m] = np.asarray(x)[:m]
+
     for start in range(0, n, q_block):
         stop = min(start + q_block, n)
         qn = stop - start
@@ -509,14 +552,13 @@ def multiscale_features_device(
         ids = np.full(q_block, -1, np.int32)
         ids[:qn] = np.arange(start, stop, dtype=np.int32)
         q_ids = jax.device_put(ids, sh)
-        feats = _brute_feats_block(
+        feats, extra = _brute_feats_block(
             q_xy, q_ids, pts, n_valid, types_pad, kmax, P_CHUNK, ks_c,
-            n_types,
+            n_types, ek,
         )
-        pending.append((start, qn, feats))
+        pending.append((start, qn, feats, extra))
         if len(pending) > 4:
-            s, m, f = pending.pop(0)
-            out[s : s + m] = np.asarray(f)[:m]
-    for s, m, f in pending:
-        out[s : s + m] = np.asarray(f)[:m]
-    return out
+            land_brute(pending.pop(0))
+    for item in pending:
+        land_brute(item)
+    return result(out)

@@ -196,3 +196,64 @@ def test_find_extra_respects_non_others(rng):
     assert ann[0][0] == "B cell" and ann[0][2] == "B cell"
     assert conf[0][0] == pytest.approx(0.9)
     assert conf[0][1] == -1
+
+
+def test_counts_reproduce_neighborhood_matrix(rng):
+    """The extra_k counts from the multiscale pass must rebuild the
+    co-occurrence matrix exactly (same kNN answers, zero new queries)."""
+    from ribca_tpu.analytics.spatial import neighborhood_matrix_from_counts
+
+    im = random_cells(rng, 200, n_types=5)
+    k = 24
+    _, counts = multiscale_composition(
+        im["mean_row"], im["mean_col"], im["type_ids"], 5, extra_k=k
+    )
+    got = neighborhood_matrix_from_counts(im["type_ids"], counts, 5)
+    want = neighborhood_matrix(
+        im["mean_row"], im["mean_col"], im["type_ids"], 5, k + 1
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_counts_embed_into_wider_type_space(rng):
+    """Counts computed at the image's own n_types embed into the global
+    cell-type axis (images rarely contain every type)."""
+    from ribca_tpu.analytics.spatial import neighborhood_matrix_from_counts
+
+    im = random_cells(rng, 120, n_types=3)
+    _, counts = multiscale_composition(
+        im["mean_row"], im["mean_col"], im["type_ids"], 3, extra_k=9
+    )
+    got = neighborhood_matrix_from_counts(im["type_ids"], counts, 7)
+    want = neighborhood_matrix(
+        im["mean_row"], im["mean_col"], im["type_ids"], 7, 10
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_partition_extra_k_returns_counts(rng):
+    ims = [random_cells(rng, 150, 4), random_cells(rng, 90, 4)]
+    regions, counts = tissue_region_partition(
+        ims, n_clusters=3, seed=0, extra_k=24
+    )
+    assert len(regions) == 2 and len(counts) == 2
+    assert counts[0].shape == (150, 4) and counts[1].shape == (90, 4)
+    # every cell has exactly extra_k neighbors counted (n-1 >= 24)
+    np.testing.assert_allclose(counts[0].sum(axis=1), 24.0)
+
+
+def test_neighborhood_analysis_counts_list_matches_direct(rng, tmp_path):
+    ims = [random_cells(rng, 80, 3) for _ in range(2)]
+    cell_types = ["A", "B", "Others"]
+    _, counts = tissue_region_partition(
+        ims, n_clusters=2, seed=0, extra_k=9
+    )
+    direct = neighborhood_analysis(
+        ims, cell_types, n_neighbors=10, integrate=True,
+        result_dir=str(tmp_path), batch_id="d",
+    )
+    reused = neighborhood_analysis(
+        ims, cell_types, n_neighbors=10, integrate=True,
+        result_dir=str(tmp_path), batch_id="r", counts_list=counts,
+    )
+    np.testing.assert_allclose(direct[0], reused[0], atol=1e-12)

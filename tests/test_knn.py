@@ -192,3 +192,50 @@ def test_spatial_multiscale_routes_fused(monkeypatch, rng):
     monkeypatch.setattr(knn_mod, "DEVICE_KNN_MIN", 10**9)
     host = spatial.multiscale_composition(mr, mc, types, 4)
     np.testing.assert_allclose(fused, host, atol=1e-5)
+
+
+def _counts_oracle(coords, types, n_types, k):
+    idx = _oracle(coords, k)
+    counts = np.zeros((len(coords), n_types), np.float32)
+    np.add.at(counts, (np.repeat(np.arange(len(coords)), k),
+                       types[idx.reshape(-1)]), 1.0)
+    return counts
+
+
+def test_fused_features_extra_counts_brute(monkeypatch, rng):
+    from ribca_tpu.ops import knn as knn_mod
+
+    monkeypatch.setattr(knn_mod, "DEVICE_KNN_MIN", 100)
+    coords = rng.uniform(0, 1000, size=(400, 2))
+    types = rng.integers(0, 4, size=400)
+    ks = (3, 5, 10)
+    res = knn_mod.multiscale_features_device(coords, types, 4, ks,
+                                             extra_k=7)
+    assert res is not None
+    feats, counts = res
+    np.testing.assert_allclose(
+        feats, _feats_oracle(coords, types, 4, ks), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        counts, _counts_oracle(coords, types, 4, 7), atol=1e-5
+    )
+
+
+def test_fused_features_extra_counts_binned(monkeypatch, rng):
+    from ribca_tpu.ops import knn as knn_mod
+
+    monkeypatch.setattr(knn_mod, "DEVICE_KNN_MIN", 100)
+    monkeypatch.setattr(knn_mod, "BINNED_KNN_MIN", 100)
+    coords = rng.uniform(0, 2000, size=(1500, 2))
+    types = rng.integers(0, 3, size=1500)
+    ks = (5, 10, 24)
+    res = knn_mod.multiscale_features_device(coords, types, 3, ks,
+                                             extra_k=24)
+    assert res is not None
+    feats, counts = res
+    np.testing.assert_allclose(
+        feats, _feats_oracle(coords, types, 3, ks), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        counts, _counts_oracle(coords, types, 3, 24), atol=1e-5
+    )
