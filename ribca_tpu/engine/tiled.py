@@ -347,6 +347,18 @@ def prenorm_cached(image, config, band_rows: int, pad_extra: int = 0):
         prenorm_one(n_b - 1)
 
     amax = float(config.upper_limit)
+    if getattr(config, "exact_select_stats", True):
+        # histogram-refinement select (ops/quantile.py): the exact
+        # nanpercentile scalars in a handful of O(N) passes instead of a
+        # per-channel 150M-element device sort — bitwise identical
+        # (test_quantile.py), and the dominant cost of this stage at
+        # whole-slide scale (~45 s of a 60 s prenorm at 12288²x7) drops
+        # to sub-second
+        from ribca_tpu.ops.quantile import exact_norm_stats
+
+        th, dn, sm, sg = exact_norm_stats(cache, amax, h * w, h, w)
+        return (cache, jnp.asarray(th), jnp.asarray(dn),
+                jnp.asarray(sm), jnp.asarray(sg))
     # canonical stats shape: slice each channel's rows at a bucket so the
     # (expensive) per-channel sort program is keyed on the bucket, not
     # the exact slide height; cache rows beyond h are already NaN

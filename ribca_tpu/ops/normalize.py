@@ -32,6 +32,50 @@ PCT_GUARD = 20.0
 SCALE_FLOOR = 25.0
 
 
+def pinned_nanpercentile(ch: jnp.ndarray, amax: float) -> jnp.ndarray:
+    """nan-aware ``amax``-percentile (linear method) with PINNED scalar
+    rounding — the same order statistics and interpolation as
+    ``jnp.nanpercentile``, but every scalar op rounds identically on every
+    backend and in every enclosing graph:
+
+    - ``q = amax/100`` is computed on the HOST in f32 (correctly rounded;
+      XLA:CPU's runtime f32 divide is 1 ulp off for e.g. 99/100, while
+      the same divide constant-folds to the correct value — so the bare
+      op's rounding depends on whether q reaches the graph as an
+      argument or a literal);
+    - the valid count reduces in INT32 then converts, so the f32 tree-sum
+      rounding of 1s can never differ between array shapes/backends.
+
+    The final interpolation uses the single-mul lerp form
+    ``lv + (hv-lv)*hw`` (numpy's ``_lerp``), NOT jax's two-mul
+    ``lv*lw + hv*hw``: with two muls, XLA:CPU fuses a DIFFERENT mul into
+    the FMA depending on the enclosing graph (measured: the in-graph
+    chain contracts ``hv*hw``, a standalone scalar jit contracts
+    ``lv*lw``, 1 ulp apart; an optimization_barrier does not stop the
+    contraction). With one mul there is only one possible fma, so every
+    graph rounds identically. ≤1 ulp from jnp.nanpercentile's form.
+
+    Every normalize path (single-shot, shape-bucketed, banded two-pass
+    refinement, banded cache select — ops/quantile.py replicates the
+    position chain on the host and runs this interpolation as a scalar
+    jit) shares this one definition, which is what makes the cross-path
+    bit-identical claims hold. Matches np.percentile within the usual
+    f32-vs-f64 sort/interp tolerance (the reference computes
+    np.percentile, preprocess.py:229)."""
+    flat = ch.ravel()
+    s = jnp.sort(flat)
+    counts = jnp.sum(~jnp.isnan(flat), dtype=jnp.int32).astype(jnp.float32)
+    q = np.float32(np.float32(amax) / np.float32(100.0))
+    t = q * (counts - 1)
+    low = jnp.floor(t)
+    high = jnp.ceil(t)
+    high_w = t - low
+    nm1 = jnp.maximum(counts - 1, jnp.float32(0.0))
+    lv = s[jnp.clip(low, 0.0, nm1).astype(jnp.int32)]
+    hv = s[jnp.clip(high, 0.0, nm1).astype(jnp.int32)]
+    return lv + (hv - lv) * high_w
+
+
 def _normalize_channel(ch: jnp.ndarray, blur: float, amax: float) -> jnp.ndarray:
     ch = ch.astype(jnp.float32)
 
@@ -44,13 +88,12 @@ def _normalize_channel(ch: jnp.ndarray, blur: float, amax: float) -> jnp.ndarray
 
     has_signal = jnp.any(ch > 0)
 
-    # nanpercentile, not percentile: its squash-NaN branch is what the
-    # masked (shape-bucketed) variant below must use, and the two jax
-    # implementations differ by ~1 ulp in the q*(n-1) position math —
-    # using one implementation everywhere keeps single-shot, bucketed,
-    # and tiled-cache results bitwise identical (it also happens to track
-    # numpy's f64 result more closely).
-    thresh = jnp.nanpercentile(ch, amax)
+    # the PINNED percentile, not jnp.nanpercentile: backend scalar
+    # rounding of the bare op varies with graph context (misrounded
+    # runtime divide, FMA contraction) — one pinned implementation
+    # everywhere keeps single-shot, bucketed, and tiled-cache results
+    # bitwise identical by construction.
+    thresh = pinned_nanpercentile(ch, amax)
     clipped = jnp.where(thresh > PCT_GUARD, jnp.clip(ch, 0.0, thresh), ch)
 
     denom = jnp.maximum(SCALE_FLOOR, jnp.max(clipped))
@@ -92,7 +135,7 @@ def _normalize_channel_masked(ch, valid, blur: float, amax: float):
 
     chm = jnp.where(valid, ch, jnp.nan)
     has_signal = jnp.any(chm > 0)          # NaN > 0 is False
-    thresh = jnp.nanpercentile(chm, amax)
+    thresh = pinned_nanpercentile(chm, amax)
     clipped = jnp.where(thresh > PCT_GUARD, jnp.clip(chm, 0.0, thresh), chm)
     denom = jnp.maximum(SCALE_FLOOR, jnp.nanmax(clipped))
     scaled = 2.0 * (clipped / denom) - 1.0
@@ -228,7 +271,7 @@ def stats_from_pre_channel(ch: jnp.ndarray, amax: float, valid_w=None):
         col = jnp.arange(ch.shape[-1]) < valid_w
         ch = jnp.where(col[None, :], ch, jnp.nan)
     has_signal = jnp.any(ch > 0)
-    thresh = jnp.nanpercentile(ch, amax)
+    thresh = pinned_nanpercentile(ch, amax)
     clipped = jnp.where(thresh > PCT_GUARD, jnp.clip(ch, 0.0, thresh), ch)
     denom = jnp.maximum(SCALE_FLOOR, jnp.nanmax(clipped))
     # min of the scaled channel: scaling is monotone, so it is attained at

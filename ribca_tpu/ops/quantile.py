@@ -1,0 +1,316 @@
+"""Exact percentile without the device sort: histogram-refinement select.
+
+The single-upload whole-slide path (engine/tiled.prenorm_cached) needs the
+EXACT per-channel ``jnp.nanpercentile`` threshold so banded runs stay
+bit-identical to the single-shot normalizer (reference semantics:
+preprocess.py:214-239 computes np.percentile over the full channel).
+``jnp.nanpercentile`` lowers to a full `lax.sort` — tens of seconds per
+150M-pixel channel on TPU, and it was the dominant cost of the whole-slide
+prenorm stage (~45 s of a 60 s stage at 12288²×7).
+
+A percentile needs only TWO order statistics (the floor/ceil ranks of
+``q/100*(n-1)``), not a total order.  This module finds the exact k-th
+smallest valid pixel with iterative histogram refinement — a radix-select:
+
+  round:  one O(N) fused pass computes, per channel, a ``bins``-bin count
+          histogram of the values inside the current [lo, hi) bracket,
+          the number of valid values below ``lo``, the in-bracket
+          min / max, the multiplicity of that min and max, and the
+          in-bracket count;
+  host:   locates the bin containing the target rank from the histogram
+          cumsum and narrows the bracket to that bin ±1 (the one-bin
+          margin absorbs any f32 edge rounding — membership is re-counted
+          exactly from scratch each round, so bracket slack never skews
+          the rank bookkeeping);
+  stop:   when the bracket holds at most two DISTINCT values
+          (min-count + max-count == in-count) the rank picks one of them
+          directly; a bracket collapse that never reaches that state
+          (adversarial ulp-spaced clusters) falls back to the sort path
+          for that channel, so the result is exact by construction.
+
+Each round reads the channel once (memory-bound) instead of sorting it;
+3-6 rounds resolve real images.  The position/interpolation scalar chain
+replicates ``ops.normalize.pinned_nanpercentile`` op-for-op in host
+float32 — pinning is what makes host replication possible at all: bare
+``jnp.nanpercentile``'s scalar rounding varies with backend and graph
+context (misrounded XLA:CPU runtime divide, fusion-dependent FMA
+contraction), which no host chain can track. Bitwise equality with the
+production stats (stats_from_pre_channel) is asserted exhaustively in
+tests/test_quantile.py.
+
+Pixels outside (valid_h, valid_w) are excluded: NaN pads are ignored by
+the comparisons; duplicate symmetric pad COLUMNS (the banded width
+canonicalization pads real values, engine/tiled._pad_cols) are masked by
+the traced ``valid_w`` bound, matching stats_from_pre_channel's masking.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+SELECT_BINS = 4096
+MAX_ROUNDS = 28
+
+
+@functools.partial(jax.jit, static_argnames=("bins",))
+def _select_round(x, lo, hi, valid_h, valid_w, bins: int = SELECT_BINS):
+    """One refinement pass over a (C, H, W) stack.
+
+    Returns per channel: (hist[bins], count_below_lo, in_min, in_max,
+    n_min, n_max, in_count). All counts are over VALID in-bracket pixels;
+    NaNs fail every comparison and drop out.
+    """
+    rows = jnp.arange(x.shape[1])[:, None] < valid_h
+    cols = jnp.arange(x.shape[2])[None, :] < valid_w
+    valid = rows & cols
+
+    def one(ch, l, h):
+        inr = valid & (ch >= l) & (ch < h)
+        c_less = jnp.sum(valid & (ch < l), dtype=jnp.int32)
+        width = jnp.maximum(h - l, jnp.float32(1e-45))
+        idx = jnp.clip(
+            ((ch - l) * (jnp.float32(bins) / width)).astype(jnp.int32),
+            0, bins - 1,
+        )
+        hist = jnp.zeros((bins,), jnp.int32).at[idx.reshape(-1)].add(
+            inr.reshape(-1).astype(jnp.int32)
+        )
+        in_min = jnp.min(jnp.where(inr, ch, jnp.inf))
+        in_max = jnp.max(jnp.where(inr, ch, -jnp.inf))
+        n_min = jnp.sum(inr & (ch == in_min), dtype=jnp.int32)
+        n_max = jnp.sum(inr & (ch == in_max), dtype=jnp.int32)
+        return (hist, c_less, in_min, in_max, n_min, n_max,
+                jnp.sum(inr, dtype=jnp.int32))
+
+    return jax.vmap(one)(x, lo, hi)
+
+
+@jax.jit
+def _channel_extrema(x, valid_h, valid_w):
+    """Per-channel (nanmax, nanmin, any>0) respecting the valid bounds.
+    Duplicate pad columns cannot change extrema/any, but masking keeps the
+    contract uniform (and rows beyond valid_h may be NaN anyway)."""
+    rows = jnp.arange(x.shape[1])[:, None] < valid_h
+    cols = jnp.arange(x.shape[2])[None, :] < valid_w
+    valid = rows & cols
+
+    def one(ch):
+        chm = jnp.where(valid, ch, jnp.nan)
+        # exact valid counts: the f32 one mirrors pinned_nanpercentile's
+        # int-reduce-then-convert count; the int one guards the
+        # shared-ranks assumption against interior NaNs
+        cnt_i = jnp.sum(~jnp.isnan(chm), dtype=jnp.int32)
+        cnt = cnt_i.astype(jnp.float32)
+        return (jnp.nanmax(chm), jnp.nanmin(chm), jnp.any(chm > 0),
+                cnt, cnt_i)
+
+    return jax.vmap(one)(x)
+
+
+@jax.jit
+def _finalize_one(x, i, thresh, gmin, has_signal, valid_h, valid_w):
+    """Device-side steps 4-5 scalars for ONE channel given its exact
+    percentile threshold: the identical expressions as
+    stats_from_pre_channel.
+    """
+    from ribca_tpu.ops.normalize import PCT_GUARD, SCALE_FLOOR
+
+    # traced channel index: ONE compiled program for all channels, and the
+    # slice fuses into the reductions (no 600 MB channel copy at slide scale)
+    ch = jax.lax.dynamic_index_in_dim(x, i, 0, keepdims=False)
+    rows = jnp.arange(ch.shape[0])[:, None] < valid_h
+    cols = jnp.arange(ch.shape[1])[None, :] < valid_w
+    chm = jnp.where(rows & cols, ch, jnp.nan)
+
+    clipped = jnp.where(thresh > PCT_GUARD, jnp.clip(chm, 0.0, thresh), chm)
+    denom = jnp.maximum(SCALE_FLOOR, jnp.nanmax(clipped))
+    scaled_min = jnp.where(
+        has_signal, 2.0 * (gmin / denom) - 1.0, jnp.float32(-1.0)
+    )
+    return denom, scaled_min
+
+
+def orderstats_select(x, ranks, n_valid: int, valid_h, valid_w,
+                      ch_min=None, ch_max=None,
+                      bins: int = SELECT_BINS, fallback=None):
+    """Exact ascending order statistics of the valid pixels of each channel.
+
+    ``x``: (C, H, W) f32 device array (NaN pads allowed). ``ranks``: 0-based
+    ranks into the ascending valid order, identical for every channel (the
+    percentile rank depends only on q and n). ``n_valid`` = count of valid
+    pixels per channel (static). Returns np.float32 (C, len(ranks)).
+
+    ``fallback`` (rank -> np (C,) values) covers the theoretical
+    non-convergence corner; defaults to the jnp.nanpercentile-equivalent
+    sort on the masked channel.
+    """
+    c = x.shape[0]
+    ranks = [int(r) for r in ranks]
+    if not all(0 <= r < n_valid for r in ranks):
+        raise ValueError(f"ranks {ranks} out of range for n={n_valid}")
+    if ch_min is None or ch_max is None:
+        mx, mn, _, _, _ = _channel_extrema(x, valid_h, valid_w)
+        ch_max = np.asarray(mx) if ch_max is None else ch_max
+        ch_min = np.asarray(mn) if ch_min is None else ch_min
+    out = np.empty((c, len(ranks)), np.float32)
+
+    for j, r in enumerate(ranks):
+        lo = np.asarray(ch_min, np.float32).copy()
+        # open upper bracket: one ulp above the max so max-valued pixels
+        # are in-bracket under the strict `< hi` test
+        hi = np.nextafter(
+            np.asarray(ch_max, np.float32), np.float32(np.inf)
+        ).astype(np.float32)
+        done = np.zeros((c,), bool)
+        failed = np.zeros((c,), bool)
+        val = np.zeros((c,), np.float32)
+        for _ in range(MAX_ROUNDS):
+            hist, c_less, in_min, in_max, n_min, n_max, in_cnt = (
+                np.asarray(a) for a in _select_round(
+                    x, jnp.asarray(lo), jnp.asarray(hi),
+                    valid_h, valid_w, bins=bins,
+                )
+            )
+            for i in range(c):
+                if done[i] or failed[i]:
+                    continue
+                r_in = r - int(c_less[i])
+                if not (0 <= r_in < int(in_cnt[i])):
+                    # bracket slipped past the rank (cannot happen with the
+                    # ±1-bin margin; guard loudly -> exact sort fallback)
+                    failed[i] = True
+                    continue
+                if int(n_min[i]) + int(n_max[i]) >= int(in_cnt[i]):
+                    # <= 2 distinct values left: the rank picks directly
+                    val[i] = (in_min[i] if r_in < int(n_min[i])
+                              else in_max[i])
+                    done[i] = True
+                    continue
+                cum = np.cumsum(hist[i])
+                b = int(np.searchsorted(cum, r_in + 1))
+                w = np.float64(hi[i]) - np.float64(lo[i])
+                e_lo = np.float64(lo[i]) + (b - 1) * w / bins
+                e_hi = np.float64(lo[i]) + (b + 2) * w / bins
+                new_lo = np.float32(max(e_lo, np.float64(lo[i])))
+                new_hi = np.float32(min(e_hi, np.float64(hi[i])))
+                if new_lo == lo[i] and new_hi == hi[i]:
+                    # bracket can no longer shrink in f32 with >2 distinct
+                    # values inside (ulp-spaced cluster): exact fallback
+                    failed[i] = True
+                    continue
+                lo[i], hi[i] = new_lo, new_hi
+            if (done | failed).all():
+                break
+        for i in np.flatnonzero(~done):
+            if fallback is None:
+                fallback = _sort_fallback(x, valid_h, valid_w)
+            val[i] = fallback(r)[i]
+        out[:, j] = val
+    return out
+
+
+def _sort_fallback(x, valid_h, valid_w):
+    def fb(rank: int):
+        rows = jnp.arange(x.shape[1])[:, None] < valid_h
+        cols = jnp.arange(x.shape[2])[None, :] < valid_w
+        xm = jnp.where(rows & cols, x, jnp.nan)
+        s = jnp.sort(xm.reshape(x.shape[0], -1), axis=-1)
+        return np.asarray(s[:, rank])
+    return fb
+
+
+def _percentile_positions(amax: float, n_valid: int, counts_f32=None):
+    """The floor/ceil ranks and interpolation weights of
+    ``pinned_nanpercentile(ch, amax)`` for a channel with ``n_valid``
+    valid values — the identical f32 scalar chain, op for op, on the
+    host (every op is a single IEEE rounding, so numpy replicates the
+    pinned device chain exactly)."""
+    q = np.float32(np.float32(amax) / np.float32(100.0))
+    counts = (np.float32(n_valid) if counts_f32 is None
+              else np.float32(counts_f32))
+    t = np.float32(q * np.float32(counts - np.float32(1.0)))
+    low = np.floor(t)
+    high = np.ceil(t)
+    high_w = np.float32(t - low)
+    low_w = np.float32(np.float32(1.0) - high_w)
+    low = int(np.clip(low, 0, n_valid - 1))
+    high = int(np.clip(high, 0, n_valid - 1))
+    return low, high, low_w, high_w
+
+
+def exact_percentile(x, amax: float, n_valid: int, valid_h, valid_w,
+                     ch_min=None, ch_max=None, counts_f32=None):
+    """np.float32 (C,) == pinned_nanpercentile(masked channel, amax),
+    bitwise, computed with O(N) passes instead of a sort."""
+    low, high, low_w, high_w = _percentile_positions(
+        amax, n_valid, counts_f32=counts_f32
+    )
+    ranks = [low] if high == low else [low, high]
+    vals = orderstats_select(x, ranks, n_valid, valid_h, valid_w,
+                             ch_min=ch_min, ch_max=ch_max)
+    v_lo = vals[:, 0]
+    v_hi = vals[:, -1]
+    return _interp(v_lo, v_hi, low_w, high_w)
+
+
+@jax.jit
+def _interp_jit(v_lo, v_hi, high_w):
+    return v_lo + (v_hi - v_lo) * high_w
+
+
+def _interp(v_lo, v_hi, low_w, high_w):
+    """pinned_nanpercentile's final lerp as a SCALAR jit per channel: the
+    single-mul form has exactly one possible fma, so the backend rounds
+    it here exactly as inside the production stats graphs (host numpy
+    cannot replicate an fma in f32; see pinned_nanpercentile)."""
+    del low_w
+    return np.asarray([
+        np.asarray(_interp_jit(jnp.float32(v_lo[i]), jnp.float32(v_hi[i]),
+                               jnp.float32(high_w)))
+        for i in range(len(v_lo))
+    ], np.float32)
+
+
+def exact_norm_stats(x, amax: float, n_valid: int, valid_h, valid_w):
+    """(thresh, denom, scaled_min, has_signal) per channel — the identical
+    quantities as ops.normalize.stats_from_pre_channel (steps 3-5 scalars
+    of the reference normalize, preprocess.py:229-238), computed without
+    the per-channel device sort. Returns np arrays (C,).
+    """
+    mx, mn, sig, cnt, cnt_i = (
+        np.asarray(a) for a in _channel_extrema(x, valid_h, valid_w)
+    )
+    if not (cnt_i == n_valid).all():
+        # interior NaNs (per-channel valid counts): ranks are no longer
+        # shared across channels — defer to the per-channel sort path
+        from ribca_tpu.ops.normalize import stats_from_pre_channel
+
+        outs = []
+        for i in range(x.shape[0]):
+            rows = jnp.arange(x.shape[1])[:, None] < valid_h
+            chm = jnp.where(rows, x[i], jnp.nan)
+            outs.append(stats_from_pre_channel(chm, amax, valid_w=valid_w))
+        return tuple(
+            np.asarray([np.asarray(o[k]) for o in outs])
+            for k in range(4)
+        )
+    low, high, low_w, high_w = _percentile_positions(amax, n_valid)
+    ranks = [low] if high == low else [low, high]
+    vals = orderstats_select(x, ranks, n_valid, valid_h, valid_w,
+                             ch_min=mn, ch_max=mx)
+    thresh = _interp(vals[:, 0], vals[:, -1], low_w, high_w)
+    outs = [
+        _finalize_one(
+            x, jnp.int32(i), jnp.float32(thresh[i]), jnp.asarray(mn[i]),
+            jnp.asarray(sig[i]), valid_h, valid_w,
+        )
+        for i in range(x.shape[0])
+    ]
+    denom, scaled_min = (
+        np.asarray([o[k] for o in outs], np.float32) for k in range(2)
+    )
+    return thresh, denom, scaled_min, sig

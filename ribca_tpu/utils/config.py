@@ -91,6 +91,11 @@ class AnnotatorConfig:
     # (test_shapes.py). False uploads exact shapes (one compile set per
     # shape).
     canonical_shapes: bool = True
+    # banded cache mode: compute the exact per-channel percentile scalars
+    # with the histogram-refinement select (ops/quantile.py; O(N) passes,
+    # bitwise identical to the nanpercentile sort, test_quantile.py).
+    # False restores the per-channel device sort (~45 s at 12288²x7).
+    exact_select_stats: bool = True
     # TIFF stacks above this decoded size stream from disk band-by-band
     # (io/tiff_stream.py) instead of materializing in host RAM
     host_image_budget_bytes: int = 8 << 30

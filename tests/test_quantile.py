@@ -1,0 +1,138 @@
+"""Bitwise parity of the histogram-refinement select (ops/quantile.py)
+with the pinned-percentile sort path it replaces in the banded cache
+pipeline (engine/tiled.prenorm_cached)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ribca_tpu.ops.normalize import (
+    pinned_nanpercentile,
+    stats_from_pre_channel,
+)
+from ribca_tpu.ops.quantile import (
+    exact_norm_stats,
+    exact_percentile,
+    orderstats_select,
+)
+
+
+@functools.partial(jax.jit, static_argnames="amax")
+def _pinned_ref(ch, amax):
+    return pinned_nanpercentile(ch, amax)
+
+
+def _masked(x, valid_h, valid_w):
+    c, h, w = x.shape
+    m = (np.arange(h)[:, None] < valid_h) & (np.arange(w)[None, :] < valid_w)
+    out = np.where(m[None], x, np.nan).astype(np.float32)
+    return out
+
+
+def _cases():
+    rng = np.random.default_rng(7)
+    # (name, array CHW f32, valid_h, valid_w)
+    uni = (rng.random((3, 61, 83)) * 3000).astype(np.float32)
+    yield "uniform", uni, 61, 83
+    yield "masked", uni, 47, 70
+    q = np.floor(rng.random((2, 40, 50)) * 40).astype(np.float32)
+    yield "heavy-duplicates", q, 40, 50
+    z = np.zeros((2, 30, 30), np.float32)
+    z[1] = 5.0
+    yield "constant-channels", z, 30, 30
+    two = np.where(rng.random((1, 64, 64)) < 0.5, 1.25, 7.5).astype(
+        np.float32
+    )
+    yield "two-distinct", two, 64, 64
+    tiny = (rng.random((2, 33, 57)) * 1e-6).astype(np.float32)
+    yield "tiny-magnitudes", tiny, 33, 50
+    ulp = np.float32(123.456) + np.float32(np.finfo(np.float32).eps * 128) * (
+        rng.integers(0, 3, (1, 32, 32)).astype(np.float32)
+    )
+    yield "ulp-cluster", ulp.astype(np.float32), 32, 32
+
+
+@pytest.mark.parametrize("amax", [90.0, 99.0, 99.7, 100.0, 10.0, 0.0])
+def test_exact_percentile_bitwise(amax):
+    for name, x, vh, vw in _cases():
+        n = vh * vw
+        if amax == 0.0 and n > 1:
+            pass  # rank 0 path
+        got = exact_percentile(jnp.asarray(x), amax, n, vh, vw)
+        xm = _masked(x, vh, vw)
+        # the pinned percentile: the chain every production normalize
+        # path computes (ops/normalize.py)
+        ref = np.asarray(
+            [_pinned_ref(jnp.asarray(xm[i]), amax)
+             for i in range(x.shape[0])], np.float32,
+        )
+        assert got.tobytes() == ref.tobytes(), (
+            f"{name} amax={amax}: {got} != {ref}"
+        )
+        # and the pinned chain itself stays within an ulp of the unpinned
+        # jnp.nanpercentile (same order statistics, same linear method)
+        loose = np.asarray(
+            [jnp.nanpercentile(jnp.asarray(xm[i]), amax)
+             for i in range(x.shape[0])], np.float32,
+        )
+        np.testing.assert_allclose(ref, loose, rtol=3e-7)
+
+
+def test_orderstats_match_sort():
+    rng = np.random.default_rng(3)
+    x = (rng.random((2, 37, 45)) * 100).astype(np.float32)
+    x[:, :, 40:] = rng.random((2, 37, 5)).astype(np.float32)  # pad cols
+    vh, vw = 37, 40
+    n = vh * vw
+    ranks = [0, 1, n // 3, n - 2, n - 1]
+    got = orderstats_select(jnp.asarray(x), ranks, n, vh, vw)
+    for i in range(2):
+        srt = np.sort(x[i, :vh, :vw].ravel())
+        np.testing.assert_array_equal(got[i], srt[ranks])
+
+
+def test_exact_norm_stats_matches_sort_path():
+    rng = np.random.default_rng(11)
+    for amax in (99.0, 100.0, 50.0):
+        x = (rng.random((3, 52, 66)) * 400).astype(np.float32)
+        vh, vw = 52, 60
+        # emulate the cache layout: NaN pad rows, duplicate pad cols
+        x[:, :, vw:] = x[:, :, vw - 6 : vw][:, :, ::-1]
+        x = np.concatenate([x, np.full((3, 4, 66), np.nan, np.float32)], 1)
+        th, dn, sm, sg = exact_norm_stats(
+            jnp.asarray(x), amax, vh * vw, vh, vw
+        )
+        for i in range(3):
+            rth, rdn, rsm, rsg = stats_from_pre_channel(
+                jnp.asarray(x[i, :vh]), amax, valid_w=vw
+            )
+            assert np.float32(th[i]).tobytes() == np.asarray(
+                rth, np.float32).tobytes()
+            assert np.float32(dn[i]).tobytes() == np.asarray(
+                rdn, np.float32).tobytes()
+            assert np.float32(sm[i]).tobytes() == np.asarray(
+                rsm, np.float32).tobytes()
+            assert bool(sg[i]) == bool(rsg)
+
+
+def test_interior_nans_route_to_sort_path():
+    rng = np.random.default_rng(5)
+    x = (rng.random((2, 20, 20)) * 10).astype(np.float32)
+    x[0, 3, 4] = np.nan  # interior NaN: per-channel counts diverge
+    th, dn, sm, sg = exact_norm_stats(jnp.asarray(x), 99.0, 400, 20, 20)
+    for i in range(2):
+        rth, _, _, _ = stats_from_pre_channel(
+            jnp.asarray(x[i]), 99.0, valid_w=20
+        )
+        assert np.float32(th[i]).tobytes() == np.asarray(
+            rth, np.float32).tobytes()
+
+
+def test_all_zero_channel_has_no_signal():
+    x = np.zeros((1, 16, 16), np.float32)
+    th, dn, sm, sg = exact_norm_stats(jnp.asarray(x), 99.0, 256, 16, 16)
+    assert not bool(sg[0])
+    assert sm[0] == np.float32(-1.0)
