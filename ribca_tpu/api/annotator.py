@@ -31,9 +31,9 @@ from ribca_tpu.analytics import (
     neighborhood_analysis,
     tissue_region_partition,
 )
-from ribca_tpu.engine.ensemble import EnsembleRunner
+from ribca_tpu.engine.ensemble import VOTE_STATS_KEY, EnsembleRunner
 from ribca_tpu.engine.pipeline import run_image
-from ribca_tpu.engine.voting import PanelProbs, merge_by_voting
+from ribca_tpu.engine.voting import PanelProbs, finish_votes, merge_by_voting
 from ribca_tpu.io import read_mask, read_manifest
 from ribca_tpu.models.registry import ModelRegistry
 from ribca_tpu.outputs import (
@@ -224,6 +224,7 @@ class Annotator:
                 dtype=_dtype_from_name(self.config.dtype),
                 mesh=self.mesh,
                 logger=self.logger,
+                device_voting=getattr(self.config, "device_voting", True),
             )
             if self.registry.used_random:
                 self.logger.log(
@@ -514,6 +515,19 @@ class Annotator:
         self._nbhd_counts = None  # annotations change -> counts stale
         self.annotations, self.confidence = [], []
         for rec in self.records:
+            if VOTE_STATS_KEY in rec.panel_probs:
+                # device voting: the ensemble program already merged the
+                # heads; apply the (current) thresholds on host — exact
+                # for any confidence settings, including ones changed
+                # after predict() (engine/voting.finish_votes)
+                labels, conf = finish_votes(
+                    rec.panel_probs[VOTE_STATS_KEY],
+                    self._runner.vote_plan,
+                    self.confidence_thresh, self.cell_type_confidence,
+                )
+                self.annotations.append(labels)
+                self.confidence.append(conf)
+                continue
             immune = structure = nerve = None
             for panel, probs in rec.panel_probs.items():
                 pp = PanelProbs(panel, probs)

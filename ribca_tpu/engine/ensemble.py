@@ -44,6 +44,10 @@ from ribca_tpu.ops.patches import PanelGather, apply_panel_gather, build_panel_g
 from ribca_tpu.parallel.mesh import cell_sharding, get_mesh, replicated_sharding
 
 
+# sink/output key of the fused device vote stats (engine/voting.py)
+VOTE_STATS_KEY = "vote_stats"
+
+
 def prediction_panels(parser) -> list[str]:
     """Panels the ensemble actually runs (model.py:241-349 elif chains)."""
     panels = []
@@ -118,10 +122,13 @@ class EnsembleRunner:
         dtype=jnp.bfloat16,
         mesh=None,
         logger=None,
+        device_voting: bool = False,
     ):
         self.mesh = mesh if mesh is not None else get_mesh()
         self.dtype = dtype
         self.logger = logger
+        self.device_voting = bool(device_voting)
+        self.vote_plan = None
         self.specs: list[_HeadSpec] = []
         self.params: dict = {}
         self.imputer_params: dict = {}
@@ -170,6 +177,11 @@ class EnsembleRunner:
         if not self.specs:
             raise ValueError("No classifier heads available to run")
 
+        if self.device_voting:
+            from ribca_tpu.engine.voting import build_vote_plan
+
+            self.vote_plan = build_vote_plan([s.panel for s in self.specs])
+
         key = self._program_signature()
         cached = _PROGRAM_CACHE.get(key)
         if cached is None:
@@ -212,12 +224,13 @@ class EnsembleRunner:
             for s in self.specs
         )
         return (spec_sig, jnp.dtype(self.dtype).name,
-                _mesh_signature(self.mesh))
+                _mesh_signature(self.mesh), self.device_voting)
 
     # -- program ------------------------------------------------------------
 
     def _build(self):
         specs = self.specs
+        plan = self.vote_plan
 
         def run(patches_full, params, imputer_params):
             out = {}
@@ -239,6 +252,16 @@ class EnsembleRunner:
                 out[s.panel] = jax.nn.softmax(
                     logits.astype(jnp.float32), axis=-1
                 )
+            if plan is not None:
+                # on-device merge (SURVEY §7): only the three per-cell
+                # scalars the host thresholding needs ever leave the
+                # device (~12 B/cell vs ~80 B/cell full-panel probs).
+                # Heads the reference's merge branch ignores (e.g. nerve
+                # under immune+structure, model.py:509-527) become dead
+                # code here and XLA eliminates their compute entirely.
+                from ribca_tpu.engine.voting import device_vote_stats
+
+                return {VOTE_STATS_KEY: device_vote_stats(out, plan)}
             return out
 
         data = cell_sharding(self.mesh)
@@ -295,27 +318,38 @@ class EnsembleRunner:
                 _DEVICE_PARAMS_CACHE[self._weights_key] = self._device_params
         return self._device_params
 
+    @property
+    def output_spec(self) -> dict[str, int]:
+        """Columns of each f32 output matrix ``run_chunk`` emits — the
+        shape contract the cohort packer's sinks preallocate against."""
+        if self.vote_plan is not None:
+            from ribca_tpu.engine.voting import VOTE_STATS_WIDTH
+
+            return {VOTE_STATS_KEY: VOTE_STATS_WIDTH}
+        return {s.panel: s.model.num_classes for s in self.specs}
+
     def run_chunk(self, patches_full) -> dict:
         """patches_full: (B, C, 40, 40) device or host array, B a multiple
-        of the mesh size. Returns {panel: (B, n_classes) f32 DeviceArray}."""
+        of the mesh size. Returns {panel: (B, n_classes) f32 DeviceArray},
+        or {"vote_stats": (B, 3)} when device voting is on."""
         params, imp = self._params_on_device()
         return self._fn(patches_full, params, imp)
 
     def run_cells(self, chunks) -> dict[str, np.ndarray]:
-        """Run a sequence of (patches, n_valid) chunks; returns per-panel
-        prob matrices over all valid cells, on host."""
-        per_panel: dict[str, list[np.ndarray]] = {
-            s.panel: [] for s in self.specs
+        """Run a sequence of (patches, n_valid) chunks; returns per-key
+        output matrices over all valid cells, on host."""
+        per_key: dict[str, list[np.ndarray]] = {
+            k: [] for k in self.output_spec
         }
         for patches, n_valid in chunks:
             probs = self.run_chunk(patches)
-            for panel, arr in probs.items():
-                per_panel[panel].append(np.asarray(arr[:n_valid]))
-        n_cls = {s.panel: s.model.num_classes for s in self.specs}
+            for key, arr in probs.items():
+                per_key[key].append(np.asarray(arr[:n_valid]))
+        widths = self.output_spec
         return {
-            panel: (
+            key: (
                 np.concatenate(parts, axis=0)
-                if parts else np.zeros((0, n_cls[panel]), np.float32)
+                if parts else np.zeros((0, widths[key]), np.float32)
             )
-            for panel, parts in per_panel.items()
+            for key, parts in per_key.items()
         }

@@ -107,10 +107,11 @@ class CohortPacker:
         self.valid_rows = 0
 
     def make_sink(self, n_cells: int) -> dict:
-        """Preallocated per-image prob matrices the packer writes into."""
+        """Preallocated per-image output matrices the packer writes into
+        (per-panel probs, or the 3-wide vote stats under device voting)."""
         return {
-            s.panel: np.empty((n_cells, s.model.num_classes), np.float32)
-            for s in self.runner.specs
+            key: np.empty((n_cells, width), np.float32)
+            for key, width in self.runner.output_spec.items()
         }
 
     # -- submission -----------------------------------------------------------

@@ -34,7 +34,7 @@ import dataclasses
 
 import numpy as np
 
-from ribca_tpu.panels.vocab import PANEL_CLASS_MAPS, VOTE_KEYS
+from ribca_tpu.panels.vocab import PANEL_CLASS_MAPS, VOTE_KEYS, others_index
 
 # Vote-vector name order: the 17 void-vote keys, then the "Others" slot the
 # immune_full branch appends.
@@ -184,3 +184,157 @@ def merge_by_voting(
     if nerve is not None:
         return _single_panel_merge(nerve, confidence_thresh, cc)
     raise ValueError("No predictions to merge")
+
+
+# -- device-side voting -------------------------------------------------------
+#
+# SURVEY §7 engine/ prescribes "vote-merge + thresholds as vectorized jnp
+# ops" fused into the device program. Downloading per-panel prob matrices
+# (up to ~80 B/cell full-panel) made the warm cohort predict ~95%
+# drain-bound (BASELINE.md session 8); the merge itself only ever needs
+# three scalars per cell:
+#
+#     arg        = argmax of the summed vote vector (or the single head)
+#     best       = the winning vote value
+#     min_others = min over heads of their "Others" prob (multi-panel)
+#
+# because the confidence thresholds (model.py:504,531,558,585,599) enter
+# ONLY in the accept/reject comparison. So the ensemble program computes
+# (arg, best, min_others) on device — bit-identical to the host numpy
+# path: the per-head scatter matrices are one-hot selections (no
+# summation inside a head), and the cross-head f32 adds run in the same
+# immune -> structure -> nerve order — and ``finish_votes`` applies the
+# thresholds on host, which keeps re-voting with DIFFERENT thresholds
+# (and the dict-oracle parity tests) exact without re-running inference.
+
+VOTE_STATS_WIDTH = 3  # [arg as f32, best, min_others]
+
+
+@dataclasses.dataclass(frozen=True)
+class VotePlan:
+    """Static description of the merge branch for one marker parse.
+
+    Replicates the reference's branch cascade (model.py:481-639): the
+    full+struct+nerve triple includes each head's "Others" in the vote;
+    immune+structure IGNORES a matched nerve head (the elif chain);
+    single panels argmax their own classes with the strict-positive
+    override rule."""
+
+    heads: tuple[str, ...]         # voting heads, reference add order
+    multi: bool
+    include_others: bool           # multi: vote gains the 18th slot
+    names: tuple[str, ...]         # label table indexed by ``arg``
+    others_arg: int                # single-panel: class index of "Others"
+
+
+def build_vote_plan(panels) -> VotePlan:
+    """``panels``: the classifier heads that actually ran (at most one
+    immune head, reference priority already applied)."""
+    immune = next((p for p in panels if p.startswith("immune")), None)
+    structure = "structure" if "structure" in panels else None
+    nerve = "nerve_cell" if "nerve_cell" in panels else None
+
+    if immune == "immune_full" and structure and nerve:
+        heads, include = (immune, structure, nerve), True
+    elif immune and structure:
+        heads, include = (immune, structure), False
+    elif structure and nerve:
+        heads, include = (structure, nerve), False
+    elif immune and nerve:
+        heads, include = (immune, nerve), False
+    else:
+        single = immune or structure or nerve
+        if single is None:
+            raise ValueError("No panels to build a vote plan for")
+        return VotePlan(
+            heads=(single,), multi=False, include_others=False,
+            names=tuple(_class_names(single)),
+            others_arg=others_index(single),
+        )
+    return VotePlan(
+        heads=heads, multi=True, include_others=include,
+        names=VOTE_NAMES, others_arg=-1,
+    )
+
+
+def _slot_class_idx(panel: str, include_others: bool) -> np.ndarray:
+    """(18,) int32: head class index feeding each vote slot, -1 if none.
+
+    The inverse view of ``scatter_matrix`` — valid because every panel's
+    class map is bijective (each cell-type name appears at most once per
+    head), so a vote slot receives at most one class prob per head and
+    the device gather reproduces the host matmul bit-for-bit."""
+    cmap = PANEL_CLASS_MAPS[panel]
+    idx = np.full(len(VOTE_NAMES), -1, dtype=np.int32)
+    for ci, name in cmap.items():
+        if name == "Others" and not include_others:
+            continue
+        slot = _NAME_TO_SLOT[name]
+        assert idx[slot] == -1, f"duplicate class name {name} in {panel}"
+        idx[slot] = ci
+    return idx
+
+
+def device_vote_stats(probs: dict, plan: VotePlan):
+    """jnp: per-cell (B, 3) f32 ``[arg, best, min_others]`` from the
+    per-panel softmax outputs — traced inside the ensemble program."""
+    import jax.numpy as jnp
+
+    if not plan.multi:
+        p = probs[plan.heads[0]]
+        arg = jnp.argmax(p, axis=1)
+        best = jnp.take_along_axis(p, arg[:, None], axis=1)[:, 0]
+        min_others = jnp.full_like(best, jnp.inf)
+        return jnp.stack(
+            [arg.astype(jnp.float32), best, min_others], axis=1
+        )
+
+    width = len(VOTE_NAMES) if plan.include_others else len(VOTE_KEYS)
+    vote = None
+    others = []
+    for panel in plan.heads:
+        p = probs[panel]                       # (B, k) f32
+        slots = _slot_class_idx(panel, plan.include_others)
+        # gather each slot's class prob (clip keeps the gather in
+        # bounds; the where zeroes unmapped slots — adding 0.0 is exact)
+        contrib = jnp.where(
+            jnp.asarray(slots) >= 0,
+            p[:, jnp.asarray(np.clip(slots, 0, None))],
+            jnp.float32(0),
+        )
+        vote = contrib if vote is None else vote + contrib
+        others.append(p[:, others_index(panel)])
+    arg = jnp.argmax(vote[:, :width], axis=1)
+    best = jnp.take_along_axis(vote, arg[:, None], axis=1)[:, 0]
+    min_others = jnp.min(jnp.stack(others, axis=1), axis=1)
+    return jnp.stack([arg.astype(jnp.float32), best, min_others], axis=1)
+
+
+def finish_votes(
+    stats: np.ndarray,
+    plan: VotePlan,
+    confidence_thresh: float,
+    cell_type_confidence: dict,
+) -> tuple[list[str], np.ndarray]:
+    """Host thresholding of device vote stats; semantics identical to
+    ``merge_by_voting`` on the full prob matrices (asserted by
+    tests/test_device_voting.py)."""
+    stats = np.asarray(stats, dtype=np.float32)
+    arg = stats[:, 0].astype(np.int64)
+    best = stats[:, 1]
+    names_arr = np.asarray(plan.names, dtype=object)
+    override = _override_vector(cell_type_confidence, plan.names)
+
+    if plan.multi:
+        min_others = stats[:, 2]
+        fallback = np.minimum(min_others, np.float32(confidence_thresh))
+        thresh = _thresholds(arg, override, fallback, strict_positive=False)
+        accept = best >= thresh
+    else:
+        fallback = np.full(len(arg), confidence_thresh, np.float32)
+        thresh = _thresholds(arg, override, fallback, strict_positive=True)
+        accept = (arg == plan.others_arg) | (best >= thresh)
+
+    labels = np.where(accept, names_arr[arg], "Others")
+    conf = np.where(accept, best, np.float32(-1)).astype(np.float32)
+    return list(labels), conf

@@ -64,15 +64,22 @@ def pinned_nanpercentile(ch: jnp.ndarray, amax: float) -> jnp.ndarray:
     np.percentile, preprocess.py:229)."""
     flat = ch.ravel()
     s = jnp.sort(flat)
-    counts = jnp.sum(~jnp.isnan(flat), dtype=jnp.int32).astype(jnp.float32)
+    cnt_i = jnp.sum(~jnp.isnan(flat), dtype=jnp.int32)
+    counts = cnt_i.astype(jnp.float32)
     q = np.float32(np.float32(amax) / np.float32(100.0))
     t = q * (counts - 1)
     low = jnp.floor(t)
     high = jnp.ceil(t)
     high_w = t - low
-    nm1 = jnp.maximum(counts - 1, jnp.float32(0.0))
-    lv = s[jnp.clip(low, 0.0, nm1).astype(jnp.int32)]
-    hv = s[jnp.clip(high, 0.0, nm1).astype(jnp.int32)]
+    # the rank clamp runs in EXACT integers: above 2^24 valid pixels,
+    # f32 ``counts - 1`` rounds back up to ``counts`` (e.g. n = 12288² =
+    # 9·2^24), so an f32 clamp at amax=100 would gather one past the
+    # last valid value — the first NaN pad — and return a NaN threshold,
+    # where the host replica (ops/quantile._percentile_positions) clips
+    # with the exact integer n-1 and returns the channel max.
+    nm1_i = jnp.maximum(cnt_i - 1, 0)
+    lv = s[jnp.clip(low.astype(jnp.int32), 0, nm1_i)]
+    hv = s[jnp.clip(high.astype(jnp.int32), 0, nm1_i)]
     return lv + (hv - lv) * high_w
 
 

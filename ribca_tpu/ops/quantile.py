@@ -158,68 +158,83 @@ def orderstats_select(x, ranks, n_valid: int, valid_h, valid_w,
         ch_min = np.asarray(mn) if ch_min is None else ch_min
     out = np.empty((c, len(ranks)), np.float32)
 
-    for j, r in enumerate(ranks):
-        lo = np.asarray(ch_min, np.float32).copy()
-        # open upper bracket: one ulp above the max so max-valued pixels
-        # are in-bracket under the strict `< hi` test
-        hi = np.nextafter(
-            np.asarray(ch_max, np.float32), np.float32(np.inf)
-        ).astype(np.float32)
-        done = np.zeros((c,), bool)
-        failed = np.zeros((c,), bool)
-        val = np.zeros((c,), np.float32)
-        for _ in range(MAX_ROUNDS):
-            hist, c_less, in_min, in_max, n_min, n_max, in_cnt = (
-                np.asarray(a) for a in _select_round(
-                    x, jnp.asarray(lo), jnp.asarray(hi),
-                    valid_h, valid_w, bins=bins,
-                )
+    # ONE bracket walk resolves every rank: the percentile's floor/ceil
+    # ranks are adjacent, so they share the bracket (identical or
+    # neighboring bins) until the final rounds — narrowing to the UNION
+    # of the ranks' bins ±1 costs at most 2 extra bins out of ``bins``
+    # per round while halving the O(N) device passes vs per-rank loops.
+    lo = np.asarray(ch_min, np.float32).copy()
+    # open upper bracket: one ulp above the max so max-valued pixels
+    # are in-bracket under the strict `< hi` test
+    hi = np.nextafter(
+        np.asarray(ch_max, np.float32), np.float32(np.inf)
+    ).astype(np.float32)
+    done = np.zeros((c,), bool)
+    failed = np.zeros((c,), bool)
+    for _ in range(MAX_ROUNDS):
+        hist, c_less, in_min, in_max, n_min, n_max, in_cnt = (
+            np.asarray(a) for a in _select_round(
+                x, jnp.asarray(lo), jnp.asarray(hi),
+                valid_h, valid_w, bins=bins,
             )
-            for i in range(c):
-                if done[i] or failed[i]:
-                    continue
-                r_in = r - int(c_less[i])
-                if not (0 <= r_in < int(in_cnt[i])):
-                    # bracket slipped past the rank (cannot happen with the
-                    # ±1-bin margin; guard loudly -> exact sort fallback)
-                    failed[i] = True
-                    continue
-                if int(n_min[i]) + int(n_max[i]) >= int(in_cnt[i]):
-                    # <= 2 distinct values left: the rank picks directly
-                    val[i] = (in_min[i] if r_in < int(n_min[i])
-                              else in_max[i])
-                    done[i] = True
-                    continue
-                cum = np.cumsum(hist[i])
-                b = int(np.searchsorted(cum, r_in + 1))
-                w = np.float64(hi[i]) - np.float64(lo[i])
-                e_lo = np.float64(lo[i]) + (b - 1) * w / bins
-                e_hi = np.float64(lo[i]) + (b + 2) * w / bins
-                new_lo = np.float32(max(e_lo, np.float64(lo[i])))
-                new_hi = np.float32(min(e_hi, np.float64(hi[i])))
-                if new_lo == lo[i] and new_hi == hi[i]:
-                    # bracket can no longer shrink in f32 with >2 distinct
-                    # values inside (ulp-spaced cluster): exact fallback
-                    failed[i] = True
-                    continue
-                lo[i], hi[i] = new_lo, new_hi
-            if (done | failed).all():
-                break
-        for i in np.flatnonzero(~done):
-            if fallback is None:
-                fallback = _sort_fallback(x, valid_h, valid_w)
-            val[i] = fallback(r)[i]
-        out[:, j] = val
+        )
+        for i in range(c):
+            if done[i] or failed[i]:
+                continue
+            r_ins = [r - int(c_less[i]) for r in ranks]
+            if not all(0 <= r_in < int(in_cnt[i]) for r_in in r_ins):
+                # bracket slipped past a rank (cannot happen with the
+                # ±1-bin margin; guard loudly -> exact sort fallback)
+                failed[i] = True
+                continue
+            if int(n_min[i]) + int(n_max[i]) >= int(in_cnt[i]):
+                # <= 2 distinct values left: every rank picks directly
+                for j, r_in in enumerate(r_ins):
+                    out[i, j] = (in_min[i] if r_in < int(n_min[i])
+                                 else in_max[i])
+                done[i] = True
+                continue
+            cum = np.cumsum(hist[i])
+            bs = [int(np.searchsorted(cum, r_in + 1)) for r_in in r_ins]
+            w = np.float64(hi[i]) - np.float64(lo[i])
+            e_lo = np.float64(lo[i]) + (min(bs) - 1) * w / bins
+            e_hi = np.float64(lo[i]) + (max(bs) + 2) * w / bins
+            new_lo = np.float32(max(e_lo, np.float64(lo[i])))
+            new_hi = np.float32(min(e_hi, np.float64(hi[i])))
+            if new_lo == lo[i] and new_hi == hi[i]:
+                # bracket can no longer shrink in f32 with >2 distinct
+                # values inside (ulp-spaced cluster): exact fallback
+                failed[i] = True
+                continue
+            lo[i], hi[i] = new_lo, new_hi
+        if (done | failed).all():
+            break
+    pending = np.flatnonzero(~done)
+    if len(pending):
+        if fallback is None:
+            fallback = _sort_fallback(x, valid_h, valid_w)
+        # one fallback evaluation per RANK (each call sorts all C masked
+        # channels), indexed for every failed channel — not per channel
+        for j, r in enumerate(ranks):
+            fb_vals = fallback(r)
+            for i in pending:
+                out[i, j] = fb_vals[i]
     return out
 
 
 def _sort_fallback(x, valid_h, valid_w):
+    """Exact sort fallback; the masked sort runs ONCE (device-resident)
+    and each rank call is a (C,)-gather off it."""
+    cache: list = []
+
     def fb(rank: int):
-        rows = jnp.arange(x.shape[1])[:, None] < valid_h
-        cols = jnp.arange(x.shape[2])[None, :] < valid_w
-        xm = jnp.where(rows & cols, x, jnp.nan)
-        s = jnp.sort(xm.reshape(x.shape[0], -1), axis=-1)
-        return np.asarray(s[:, rank])
+        if not cache:
+            rows = jnp.arange(x.shape[1])[:, None] < valid_h
+            cols = jnp.arange(x.shape[2])[None, :] < valid_w
+            xm = jnp.where(rows & cols, x, jnp.nan)
+            cache.append(jnp.sort(xm.reshape(x.shape[0], -1), axis=-1))
+        return np.asarray(cache[0][:, rank])
+
     return fb
 
 
@@ -237,8 +252,11 @@ def _percentile_positions(amax: float, n_valid: int, counts_f32=None):
     high = np.ceil(t)
     high_w = np.float32(t - low)
     low_w = np.float32(np.float32(1.0) - high_w)
-    low = int(np.clip(low, 0, n_valid - 1))
-    high = int(np.clip(high, 0, n_valid - 1))
+    # clamp in EXACT integers (np.clip would promote the bound to f32,
+    # where n-1 rounds back up to n beyond 2^24 valid pixels — the same
+    # cliff the device-side integer clamp guards; ADVICE r3)
+    low = min(max(int(low), 0), n_valid - 1)
+    high = min(max(int(high), 0), n_valid - 1)
     return low, high, low_w, high_w
 
 

@@ -78,8 +78,93 @@ def enable_compile_cache(cache_dir: str | None) -> None:
             jax.config.update(
                 "jax_persistent_cache_min_compile_time_secs", 0.0
             )
+            purge_on_aot_mismatch(path)
     except Exception:
         pass
+
+
+def purge_on_aot_mismatch(path: str) -> bool:
+    """Canary-load the cache and PURGE it when XLA:CPU warns about a
+    machine-feature mismatch. Returns True when a purge happened.
+
+    The fingerprint above cannot fully prevent cross-machine loads: the
+    compile-time feature set embeds LLVM *tuning* features derived from
+    the precise CPU model (``+prefer-no-gather``/``+prefer-no-scatter``),
+    which no /proc/cpuinfo line exposes — MULTICHIP_r03 still logged
+    ``cpu_aot_loader.cc`` mismatch errors ("could lead to execution
+    errors such as SIGILL") from a family/model/stepping-keyed dir, and
+    one fatal abort was observed from a jitted train step loaded this
+    way (ROADMAP r3 session 4). So: compile one deterministic canary
+    program with fd-2 capture; every process stores it, so a foreign
+    machine sharing the dir hits the mismatch warning on the canary
+    LOAD, and we wipe the directory before any production program can
+    load a poisoned executable. Only runs when the process is pinned to
+    the CPU platform (``JAX_PLATFORMS``) — the failure mode is specific
+    to XLA:CPU AOT results, and probing would otherwise initialize the
+    TPU backend early."""
+    plats = os.environ.get("JAX_PLATFORMS", "")
+    if "cpu" not in [p.strip() for p in plats.split(",")]:
+        return False
+    import shutil
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    with tempfile.TemporaryFile() as cap:
+        saved = os.dup(2)
+        try:
+            os.dup2(cap.fileno(), 2)
+            x = jnp.full((16,), 1.000123, jnp.float32)
+            jax.jit(
+                lambda v: (v * 1.000456 + 0.000789).sum()
+            )(x).block_until_ready()
+        finally:
+            os.dup2(saved, 2)
+            os.close(saved)
+        cap.seek(0)
+        log = cap.read().decode(errors="replace")
+    if _foreign_aot_features(log):
+        shutil.rmtree(path, ignore_errors=True)
+        os.makedirs(path, exist_ok=True)
+        import sys
+
+        print(
+            "ribca_tpu: purged XLA compile cache at "
+            f"{path} — cached AOT executables were compiled for a "
+            "different machine ISA feature set "
+            f"({sorted(_foreign_aot_features(log))}; stale executables "
+            "can SIGILL)",
+            file=sys.stderr,
+        )
+        return True
+    return False
+
+
+# XLA adds these LLVM tuning pseudo-features at compile time but omits
+# them from the host feature list at load, so EVERY same-host
+# cross-process cache hit logs a cpu_aot_loader mismatch naming only
+# them — benign noise, runs correctly (verified on this host). Purging
+# on it would wipe the cache on every fresh process.
+_BENIGN_TUNING_FEATURES = {"prefer-no-scatter", "prefer-no-gather"}
+
+
+def _foreign_aot_features(log: str) -> set[str]:
+    """Real ISA features named by cpu_aot_loader mismatch lines (e.g. a
+    missing avx512 subset) — the genuinely-foreign-cache signal."""
+    import re
+
+    feats = set()
+    for line in log.splitlines():
+        if "cpu_aot_loader" not in line:
+            continue
+        m = re.search(
+            r"Target machine feature \+?([\w.-]+) is not\s+supported",
+            line,
+        )
+        if m:
+            feats.add(m.group(1))
+    return feats - _BENIGN_TUNING_FEATURES
 
 
 def ensure_compile_cache() -> None:

@@ -53,6 +53,13 @@ class AnnotatorConfig:
 
     # TPU-native extensions (absent from the reference)
     dtype: str = "bfloat16"            # compute dtype of the model ensemble
+    # fuse the ensemble vote-merge into the device program: only the
+    # 3-scalar per-cell vote stats (argmax / winning vote / min-Others)
+    # cross the wire instead of per-panel prob matrices (~12 B/cell vs up
+    # to ~80 B/cell; thresholds still apply on host, so re-voting with
+    # different confidences stays exact). False drains full per-panel
+    # probs and merges on host — the dict-oracle parity path.
+    device_voting: bool = True
     # dispatched-ahead work the host may queue before blocking on device
     # results; 0 = auto (bounded to ~2 GB of in-flight patch buffers,
     # engine/pipeline.effective_prefetch_depth). Deeper queues let host

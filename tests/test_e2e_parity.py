@@ -94,6 +94,7 @@ def test_full_pipeline_matches_reference_equivalent(tmp_path, seed):
             marker_file=str(marker_file), csv_file=csv,
             main_dir=str(main_dir), batch_id="p", infer=False,
             dtype="float32", blur=BLUR, upper_limit=AMAX, confidence=CONF,
+            device_voting=False,
         ),
         models_dir=str(models_dir),
     )

@@ -29,6 +29,10 @@ def ann(tmp_path_factory):
         AnnotatorConfig(
             marker_file=str(mf), csv_file=csv, main_dir=str(wd),
             batch_id="fp", infer=False, dtype="float32",
+            # host-vote mode: these tests compare the per-panel prob
+            # matrices against the dict-oracle merge (device voting has
+            # its own parity suite, test_device_voting.py)
+            device_voting=False,
         ),
         models_dir=str(wd / "none"),
     )

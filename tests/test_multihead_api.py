@@ -33,6 +33,7 @@ def ann(tmp_path_factory):
         AnnotatorConfig(
             marker_file=str(mf), csv_file=csv, main_dir=str(wd),
             batch_id="mh", infer=False, dtype="float32",
+            device_voting=False,
         ),
         models_dir=str(wd / "none"),
     )

@@ -136,3 +136,24 @@ def test_all_zero_channel_has_no_signal():
     th, dn, sm, sg = exact_norm_stats(jnp.asarray(x), 99.0, 256, 16, 16)
     assert not bool(sg[0])
     assert sm[0] == np.float32(-1.0)
+
+
+def test_amax100_beyond_f32_integer_precision():
+    """ADVICE r3: with > 2^24 valid pixels and amax=100, f32
+    ``counts - 1`` rounds back up to ``counts``; the integer rank clamp
+    in pinned_nanpercentile must still gather the LAST valid value (the
+    channel max), not the first NaN pad — and stay bitwise equal to the
+    host-clamped select path."""
+    n_h, n_w = 4097, 4096           # n = 2^24 + 4096 valid pixels
+    n = n_h * n_w
+    assert np.float32(n - 1) == np.float32(n)  # the precision cliff
+    rng = np.random.default_rng(3)
+    x = rng.random((1, n_h, n_w)).astype(np.float32) * 100.0
+    true_max = np.float32(x.max())
+
+    got = np.asarray(_pinned_ref(jnp.asarray(x[0]), 100.0))
+    assert not np.isnan(got), "amax=100 gathered the NaN pad"
+    assert got == true_max
+
+    sel = exact_percentile(jnp.asarray(x), 100.0, n, n_h, n_w)
+    np.testing.assert_array_equal(sel[0], got)
