@@ -336,13 +336,17 @@ class Annotator:
                     min_sds = jax.ShapeDtypeStruct(
                         (c,), f32, sharding=rep_sh
                     )
+                    from ribca_tpu.parallel.mesh import (
+                        cell_sharding_axis1,
+                    )
+
+                    cells_sh = cell_sharding_axis1(self.mesh)
                     for size in ladder:
-                        cell = jax.ShapeDtypeStruct(
-                            (size,), i32, sharding=cell_sh
+                        cells_sds = jax.ShapeDtypeStruct(
+                            (5, size), i32, sharding=cells_sh
                         )
                         extract_patches.lower(
-                            imgf_sds, min_sds, mask_sds,
-                            cell, cell, cell, cell, cell,
+                            imgf_sds, min_sds, mask_sds, cells_sds,
                             patch_size=patch, full_h=0, full_w=0,
                             prepadded=True,
                         ).compile()

@@ -268,12 +268,22 @@ def run_image(
     chunk = min(packer.pack,
                 chunk_size_for(min(max(n, 1), config.chunk_cells),
                                config.chunk_cells, n_dev))
-    sh = cell_sharding(mesh)
+    from ribca_tpu.parallel.mesh import cell_sharding_axis1
+
+    sh = cell_sharding_axis1(mesh)
     sink = packer.make_sink(n)
 
-    def pad(a, size, fill=0):
-        out = np.full(size, fill, dtype=np.int32)
-        out[: len(a)] = a
+    def pack_args(sel, size):
+        """(5, size) stacked [ids, rmin, rmax, cmin, cmax] — one upload
+        per chunk (five device_puts over a tunneled link paid five round
+        trips)."""
+        out = np.zeros((5, size), dtype=np.int32)
+        n_sel = len(sel)
+        out[0, :n_sel] = sel
+        out[1, :n_sel] = ext.rmin[sel]
+        out[2, :n_sel] = ext.rmax[sel]
+        out[3, :n_sel] = ext.cmin[sel]
+        out[4, :n_sel] = ext.cmax[sel]
         return out
 
     # Dispatch all chunks before materializing any: device runs ahead of
@@ -297,17 +307,9 @@ def run_image(
         # rows with the next image's cells
         size = chunk_size_for(n_valid, chunk, n_dev)
         with trace_stage(tracer, "device.extract", quiet=True):
-            args = [
-                jax.device_put(pad(a, size), sh)
-                for a in (
-                    sel, ext.rmin[sel], ext.rmax[sel], ext.cmin[sel],
-                    ext.cmax[sel],
-                )
-            ]
-            cell_arr, rmin, rmax, cmin, cmax = args
+            cells = jax.device_put(pack_args(sel, size), sh)
             patches, avg_int = extract_patches(
-                img_zero, min_val, mask_dev, cell_arr, rmin, rmax, cmin,
-                cmax,
+                img_zero, min_val, mask_dev, cells,
                 patch_size=patch_size, full_h=true_h, full_w=true_w,
                 prepadded=True,
             )

@@ -62,7 +62,7 @@ from ribca_tpu.ops.normalize import (
     stats_from_pre_channel,
 )
 from ribca_tpu.ops.patches import extract_patches
-from ribca_tpu.parallel.mesh import cell_sharding, replicated_sharding
+from ribca_tpu.parallel.mesh import cell_sharding_axis1, replicated_sharding
 
 
 def _band_starts(h: int, band_rows: int) -> list[int]:
@@ -409,7 +409,7 @@ def run_image_tiled(
     mesh = runner.mesh
     n_dev = mesh.size
     rep = replicated_sharding(mesh)
-    sh = cell_sharding(mesh)
+    sh = cell_sharding_axis1(mesh)
 
     patch_size = int(40 * config.cell_size / 30.0)
     auto_rows = band_rows is None
@@ -503,9 +503,16 @@ def run_image_tiled(
     ))
     sink = packer.make_sink(n)
 
-    def pad_cells_arr(a, size, fill=0):
-        out = np.full(size, fill, dtype=np.int32)
-        out[: len(a)] = a
+    def pack_args(piece, size):
+        """(5, size) stacked cell args — one upload per chunk (see
+        engine/pipeline.pack_args)."""
+        out = np.zeros((5, size), dtype=np.int32)
+        n_sel = len(piece)
+        out[0, :n_sel] = piece
+        out[1, :n_sel] = ext.rmin[piece]
+        out[2, :n_sel] = ext.rmax[piece]
+        out[3, :n_sel] = ext.cmin[piece]
+        out[4, :n_sel] = ext.cmax[piece]
         return out
 
     inflight: deque = deque()
@@ -525,17 +532,9 @@ def run_image_tiled(
         n_valid = len(piece)
         size = chunk_size_for(max(n_valid, 1), chunk, n_dev)
         with trace_stage(tracer, "device.extract", quiet=True):
-            args = [
-                jax.device_put(pad_cells_arr(a, size), sh)
-                for a in (
-                    piece, ext.rmin[piece], ext.rmax[piece],
-                    ext.cmin[piece], ext.cmax[piece],
-                )
-            ]
-            cell_arr, rmn, rmx, cmn, cmx = args
+            cells = jax.device_put(pack_args(piece, size), sh)
             patches, avg_int = extract_patches(
-                img_dev, min_val, mask_dev, cell_arr, rmn, rmx,
-                cmn, cmx,
+                img_dev, min_val, mask_dev, cells,
                 patch_size=patch_size, row_offset=row_offset, full_h=h,
                 full_w=w, prepadded=True, **scale_args,
             )

@@ -183,7 +183,7 @@ def extract_labeled_patches(image, mask, types, config=None, mesh=None):
 
     from ribca_tpu.engine.pipeline import chunk_size_for, preprocess_image
     from ribca_tpu.ops.patches import extract_patches
-    from ribca_tpu.parallel.mesh import cell_sharding, get_mesh
+    from ribca_tpu.parallel.mesh import cell_sharding_axis1, get_mesh
     from ribca_tpu.utils.config import AnnotatorConfig
 
     config = config or AnnotatorConfig()
@@ -195,7 +195,7 @@ def extract_labeled_patches(image, mask, types, config=None, mesh=None):
     n = len(ids)
     patch_size = int(40 * config.cell_size / 30.0)
     n_dev = mesh.size
-    sh = cell_sharding(mesh)
+    sh = cell_sharding_axis1(mesh)
     chunk = chunk_size_for(min(max(n, 1), 4096), 4096, n_dev)
 
     parts = []
@@ -204,15 +204,12 @@ def extract_labeled_patches(image, mask, types, config=None, mesh=None):
         sel = ids[start:stop]
         size = chunk_size_for(len(sel), chunk, n_dev)
 
-        def pad(a):
-            out = np.zeros(size, np.int32)
-            out[: len(sel)] = a
-            return jax.device_put(out, sh)
-
+        cells = np.zeros((5, size), np.int32)
+        for row, a in enumerate((sel, ext.rmin[sel], ext.rmax[sel],
+                                 ext.cmin[sel], ext.cmax[sel])):
+            cells[row, : len(sel)] = a
         patches, _ = extract_patches(
-            img_zero, min_val, mask_dev, pad(sel),
-            pad(ext.rmin[sel]), pad(ext.rmax[sel]),
-            pad(ext.cmin[sel]), pad(ext.cmax[sel]),
+            img_zero, min_val, mask_dev, jax.device_put(cells, sh),
             patch_size=patch_size, full_h=h, full_w=w,
             prepadded=True,  # preprocess_image pads one window
         )

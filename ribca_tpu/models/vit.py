@@ -50,8 +50,9 @@ class QuantDense(nn.Module):
     1.13x/1.04x/1.04x per head = a projected ~1.09x ensemble — real but
     small, and it needs per-layer activation-scale calibration plus an
     int8 param-tree transform to ship. Recorded as the measured ceiling
-    of the int8 avenue (ROADMAP); the exact bf16/f32 composition stays
-    the production path (bit-compatible with the reference maps)."""
+    of the int8 avenue (ROADMAP); the bf16/f32 composition stays the
+    production path (measured f32-label agreement: see the class
+    docstring note below)."""
 
     features: int
     dtype: Dtype = jnp.float32
@@ -154,6 +155,19 @@ class Block(nn.Module):
 
 
 class VisionTransformer(nn.Module):
+    """timm-faithful ViT (reference model.py:31-88): patch-embed conv,
+    cls token, 12 pre-norm blocks, f32 norms/softmax/head.
+
+    Dtype note (measured, VERDICT r3 #2): with ``dtype=bfloat16`` (the
+    production default) logits are NOT bit-identical to f32 — labels
+    agree at a MEASURED rate, not by construction. On the peaked PCA-head
+    fixture (tests/test_dtype_agreement.py, XLA:CPU 2026-08-20):
+    argmax agreement 0.996 (the only flip at f32 top-2 margin 3e-4),
+    zero flips above margin 0.05, top-prob |delta| <= ~0.02. The
+    calibrated-pipeline number is measured every bench run
+    (bench.measure_dtype_agreement, stderr). Exact reference parity
+    (f32 torch, model.py:397-406) requires ``dtype=float32``."""
+
     in_chans: int
     num_classes: int
     embed_dim: int
@@ -226,8 +240,9 @@ def build_panel_model(panel: str, dtype=jnp.float32,
                       quantized: bool = False) -> VisionTransformer:
     """Classifier for a panel per the reference's load table
     (model.py:188-239). ``quantized`` swaps the block Dense layers for
-    the int8 MXU path (QuantDense) — opt-in serving mode, not
-    bit-compatible with the reference."""
+    the int8 MXU path (QuantDense) — opt-in serving mode with its own
+    (unmeasured) label-agreement cost on top of the measured bf16 one
+    (see the VisionTransformer dtype note)."""
     arch, in_chans, num_classes = PANEL_MODEL_SPECS[panel]
     return ARCHS[arch](in_chans=in_chans, num_classes=num_classes,
                        dtype=dtype, quantized=quantized)

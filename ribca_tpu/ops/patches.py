@@ -184,9 +184,10 @@ def extract_patches(
     img_zero: jnp.ndarray,   # (C, H, W) f32, channel-min already subtracted
     min_val: jnp.ndarray,    # (C,) per-channel minima
     mask: jnp.ndarray,       # (H, W) int32
-    cell_ids: jnp.ndarray,   # (N,) int32 cell ids of this chunk
-    rmin: jnp.ndarray, rmax: jnp.ndarray,
-    cmin: jnp.ndarray, cmax: jnp.ndarray,
+    cells: jnp.ndarray,      # (5, N) int32: [cell_ids, rmin, rmax, cmin,
+                             # cmax] stacked — ONE host->device upload per
+                             # chunk instead of five (each device_put over
+                             # a tunneled link pays a round trip)
     patch_size: int = 40,
     out_size: int = OUT_SIZE,
     row_offset=0,            # band-mode: global row of img_zero[., 0, .]
@@ -210,6 +211,7 @@ def extract_patches(
     the gather's output write, eliminating two more full-band passes.
     Per-pixel f32 elementwise chains are identical either way, so
     results stay bit-equal to the unfused path."""
+    cell_ids, rmin, rmax, cmin, cmax = (cells[i] for i in range(5))
     p = int(patch_size)
     # int(max(x_mean - P/2, 0)): floor for positive values -> ceil(P/2) offset
     # when P is odd, P//2 when even

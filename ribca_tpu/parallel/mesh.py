@@ -55,6 +55,13 @@ def cell_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
+def cell_sharding_axis1(mesh: Mesh) -> NamedSharding:
+    """Shard the SECOND axis across the mesh — the stacked per-chunk
+    cell-args array (5, N) uploads in one piece with its N axis split
+    like every other cell-axis tensor."""
+    return NamedSharding(mesh, P(None, DATA_AXIS))
+
+
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     """Fully replicated (images, params, scalars)."""
     return NamedSharding(mesh, P())

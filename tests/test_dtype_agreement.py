@@ -2,112 +2,119 @@
 
 The production compute dtype is bfloat16 (config.dtype); the reference
 runs f32 torch (model.py:397-406). bf16 matmuls cannot produce
-bit-identical logits, so labels can only be claimed compatible with a
-MEASURED agreement bound. These tests measure it on peaked (confident)
-softmax distributions — random init gives near-uniform probs whose
-argmax is pure noise, so the head kernel is sharpened to produce
-realistic confident margins (the calibrated-weights measurement runs in
-bench.py and is reported on stderr every bench run):
+bit-identical logits, so label compatibility must be MEASURED, not
+asserted. Random-init heads give input-INSENSITIVE logits (measured:
+top prob 0.2907-0.2913 across all cells — sharpening them is vacuous),
+so the head is built from the principal directions of the backbone's
+actual feature variation over a probe batch: logits then genuinely
+depend on the input, the softmax peaks like a trained head, and the
+margin distribution has near-tie mass where dtype flips can happen.
+The calibrated-weights measurement on the real pipeline runs in
+bench.py (measure_dtype_agreement) and prints on stderr every bench.
 
-* every cell whose f32 top-1/top-2 prob margin exceeds MARGIN_EPS gets
-  the same label in both dtypes (flips live only inside the near-tie
-  band);
+Pinned invariants:
+
+* zero flips among cells whose f32 top-1/top-2 prob margin exceeds
+  MARGIN_EPS (flips live only inside the near-tie band);
 * overall label agreement >= MIN_AGREEMENT;
-* accepted-cell confidences agree within CONF_ATOL.
+* top-prob confidences agree within CONF_ATOL.
 """
+
+import functools
 
 import numpy as np
 import pytest
 
-from ribca_tpu.engine.ensemble import EnsembleRunner
-from ribca_tpu.engine.voting import PanelProbs, merge_by_voting
-from ribca_tpu.models.registry import ModelRegistry
-from ribca_tpu.panels.parser import MarkerParser
-from ribca_tpu.panels.vocab import PANELS
-
+# Measured on this fixture (XLA:CPU, 2026-08-20): agreement 0.996
+# (1 flip of 256, at f32 margin 0.0003), top-prob |delta| max ~0.019
+# (varies ~20% run-to-run with CPU thread reduction order). Bounds set
+# with headroom over those measurements.
 MARGIN_EPS = 0.05     # prob margin above which NO flip is tolerated
-MIN_AGREEMENT = 0.98  # overall label agreement bound
-CONF_ATOL = 0.02      # accepted-confidence tolerance between dtypes
-N_CELLS = 512
-SHARPEN = 24.0        # head-kernel scale -> confident softmax
+MIN_AGREEMENT = 0.97  # overall argmax agreement bound
+CONF_ATOL = 0.05      # top-prob tolerance between dtypes
+N_CELLS = 256
+N_PROBE = 64
+SCALE = 2.0           # logit scale of the PCA head -> peaked + tails
 
 
-class _SharpRegistry(ModelRegistry):
-    """Deterministic random weights with the head kernel scaled so the
-    softmax peaks like a trained head (median top-prob ~0.7-0.95)."""
-
-    def classifier_params(self, panel: str):
-        params = super().classifier_params(panel)
-        params = dict(params)
-        head = dict(params["head"])
-        head["kernel"] = np.asarray(head["kernel"]) * SHARPEN
-        params["head"] = head
-        return params
-
-
-def _runner(dtype):
+@functools.lru_cache(maxsize=1)
+def _fixture():
+    import jax
     import jax.numpy as jnp
 
-    from ribca_tpu.parallel.mesh import get_mesh
+    from ribca_tpu.models.vit import build_panel_model, init_params
 
-    parser = MarkerParser(strict=True)
-    import tempfile
-
-    with tempfile.NamedTemporaryFile("w", suffix=".txt",
-                                     delete=False) as f:
-        f.write("\n".join(PANELS["immune_base"]) + "\n")
-    parser.parse(f.name)
-    reg = _SharpRegistry("/nonexistent-use-random", allow_random=True)
-    return EnsembleRunner(
-        parser, reg, n_channels=7, infer=False,
-        dtype={"f32": jnp.float32, "bf16": jnp.bfloat16}[dtype],
-        mesh=get_mesh(),
-    )
-
-
-@pytest.fixture(scope="module")
-def probs_pair():
     rng = np.random.default_rng(11)
     # patch values in the normalized [-1, 1] range the pipeline emits
-    patches = rng.uniform(-1, 1, size=(N_CELLS, 7, 40, 40)).astype(
-        np.float32
+    x = rng.uniform(-1, 1, size=(N_CELLS, 7, 40, 40)).astype(np.float32)
+
+    model32 = build_panel_model("immune_base", dtype=jnp.float32)
+    params = dict(init_params(model32, seed=0))
+    _, inter = model32.apply(
+        {"params": params}, x[:N_PROBE],
+        capture_intermediates=lambda m, _: m.name == "norm",
     )
-    out = {}
-    for dtype in ("f32", "bf16"):
-        r = _runner(dtype)
-        out[dtype] = r.run_cells([(patches, N_CELLS)])["immune_base"]
-    return out
+    feats = np.asarray(
+        inter["intermediates"]["norm"]["__call__"][0]
+    )[:, 0]
+    mu = feats.mean(0)
+    _, _, vt = np.linalg.svd(feats - mu, full_matrices=False)
+    w = (vt[:5].T * SCALE).astype(np.float32)
+    params["head"] = {
+        "kernel": jnp.asarray(w),
+        "bias": jnp.asarray((-mu @ w).astype(np.float32)),
+    }
+
+    def probs_of(dtype):
+        m = build_panel_model("immune_base", dtype=dtype)
+
+        # runner-parity cast: matmul params to the compute dtype, norms
+        # and head stay f32 (engine/ensemble._cast_params)
+        def cast(path, leaf):
+            keep = any(
+                getattr(k, "key", "").startswith(("norm", "head"))
+                for k in path
+            )
+            leaf = jnp.asarray(leaf)
+            if (dtype == jnp.float32 or keep
+                    or not jnp.issubdtype(leaf.dtype, jnp.floating)):
+                return leaf
+            return leaf.astype(dtype)
+
+        pc = jax.tree_util.tree_map_with_path(cast, params)
+        logits = jax.jit(
+            lambda v: m.apply({"params": pc}, v)
+        )(x)
+        return np.asarray(
+            jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        )
+
+    return probs_of(jnp.float32), probs_of(jnp.bfloat16)
 
 
-def _labels(probs):
-    return merge_by_voting(
-        PanelProbs("immune_base", probs), None, None, 0.3,
-        {"B cell": -1},
-    )
+def test_distribution_is_peaked_and_diverse():
+    f32, _ = _fixture()
+    top = np.sort(f32, axis=1)[:, -1]
+    assert np.median(top) > 0.5, "PCA head failed to peak; test vacuous"
+    assert len(np.unique(f32.argmax(1))) >= 3, "degenerate single class"
 
 
-def test_distribution_is_peaked(probs_pair):
-    top = np.sort(probs_pair["f32"], axis=1)[:, -1]
-    assert np.median(top) > 0.6, "sharpening failed; test is vacuous"
-
-
-def test_no_flips_above_margin(probs_pair):
-    f32, bf16 = probs_pair["f32"], probs_pair["bf16"]
+def test_no_flips_above_margin():
+    f32, bf16 = _fixture()
     s = np.sort(f32, axis=1)
     margin = s[:, -1] - s[:, -2]
-    la, _ = _labels(f32)
-    lb, _ = _labels(bf16)
-    flips = np.asarray([a != b for a, b in zip(la, lb)])
-    assert not (flips & (margin > MARGIN_EPS)).any(), (
-        f"{(flips & (margin > MARGIN_EPS)).sum()} flips above "
-        f"margin {MARGIN_EPS}"
+    flips = f32.argmax(1) != bf16.argmax(1)
+    bad = flips & (margin > MARGIN_EPS)
+    assert not bad.any(), (
+        f"{bad.sum()} flips above margin {MARGIN_EPS} "
+        f"(margins {margin[bad]})"
     )
 
 
-def test_overall_agreement(probs_pair):
-    la, ca = _labels(probs_pair["f32"])
-    lb, cb = _labels(probs_pair["bf16"])
-    agree = np.mean([a == b for a, b in zip(la, lb)])
+def test_overall_agreement_and_confidence():
+    f32, bf16 = _fixture()
+    agree = float(np.mean(f32.argmax(1) == bf16.argmax(1)))
     assert agree >= MIN_AGREEMENT, f"agreement {agree:.4f}"
-    both = (ca >= 0) & (cb >= 0)
-    np.testing.assert_allclose(ca[both], cb[both], atol=CONF_ATOL)
+    np.testing.assert_allclose(
+        np.sort(f32, 1)[:, -1], np.sort(bf16, 1)[:, -1], atol=CONF_ATOL
+    )

@@ -135,9 +135,10 @@ def test_extract_patches_matches_oracle(patch_size):
 
     patches, avg = extract_patches(
         jnp.asarray(img_zero), jnp.asarray(min_val[:, 0, 0]),
-        jnp.asarray(mask), jnp.asarray(ids),
-        jnp.asarray(ext.rmin[ids]), jnp.asarray(ext.rmax[ids]),
-        jnp.asarray(ext.cmin[ids]), jnp.asarray(ext.cmax[ids]),
+        jnp.asarray(mask),
+        jnp.asarray(np.stack([ids, ext.rmin[ids], ext.rmax[ids],
+                              ext.cmin[ids], ext.cmax[ids]]).astype(
+            np.int32)),
         patch_size=patch_size,
     )
     patches, avg = np.asarray(patches), np.asarray(avg)
@@ -164,9 +165,10 @@ def test_patch_window_clamping_at_border():
     ids = ext.present_ids
     patches, avg = extract_patches(
         jnp.asarray(img_zero), jnp.asarray(min_val[:, 0, 0]),
-        jnp.asarray(mask), jnp.asarray(ids),
-        jnp.asarray(ext.rmin[ids]), jnp.asarray(ext.rmax[ids]),
-        jnp.asarray(ext.cmin[ids]), jnp.asarray(ext.cmax[ids]),
+        jnp.asarray(mask),
+        jnp.asarray(np.stack([ids, ext.rmin[ids], ext.rmax[ids],
+                              ext.cmin[ids], ext.cmax[ids]]).astype(
+            np.int32)),
         patch_size=40,
     )
     for k, cid in enumerate(ids):

@@ -278,3 +278,31 @@ def test_prenorm_cache_budget_tpu_kind_fallback():
     assert prenorm_cache_budget(Auto(), FakeMesh()) == int(
         (16 << 30) * PRENORM_CACHE_TOTAL_FRACTION
     )
+
+
+def test_band_width_canonicalization_shares_programs(runner):
+    """VERDICT r3 #6 done-criterion: a second banded slide of a DIFFERENT
+    true width (same canonical bucket) compiles ZERO new programs — the
+    band programs are keyed on the bucketed width (engine/tiled._pad_cols
+    + band_width), so heterogeneous scanner geometry shares one set."""
+    from ribca_tpu.engine.tiled import band_width
+    from ribca_tpu.utils import logging as rlog
+
+    cfg = AnnotatorConfig(normalize=True, blur=0.3, upper_limit=99.8,
+                          canonical_shapes=True)
+    assert band_width(90, cfg) == band_width(70, cfg)  # same bucket
+
+    mask1, _ = make_cells(h=420, w=90, n_cells=24, seed=3)
+    img1 = make_image(mask1, n_channels=7, seed=3)
+    mask2, _ = make_cells(h=420, w=70, n_cells=24, seed=4)
+    img2 = make_image(mask2, n_channels=7, seed=4)
+
+    run_image_tiled(img1, mask1, cfg, runner, band_rows=160)  # warm
+    rlog._ensure_compile_listener()
+    c0 = dict(rlog._COMPILES)
+    rec = run_image_tiled(img2, mask2, cfg, runner, band_rows=160)
+    compiled = rlog._COMPILES["count"] - c0["count"]
+    assert compiled == 0, (
+        f"width 70 after width 90 compiled {compiled} new programs"
+    )
+    assert rec.n_cells == 24
