@@ -161,6 +161,77 @@ def measure_tpu() -> float:
     return _chained_throughput(runner, n_channels)
 
 
+def measure_tpu_mesh(n_devices: int) -> float:
+    """Ensemble throughput over an ``n_devices`` data-parallel mesh
+    (``python bench.py --mesh N``): the same chained-loop methodology
+    with the patch batch sharded on the cell axis and params replicated —
+    the multi-chip scaling number drops out the day N real chips exist.
+    On CPU (JAX_PLATFORMS=cpu + --xla_force_host_platform_device_count)
+    it validates the sharded timing path, not absolute speed."""
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from ribca_tpu.engine.ensemble import EnsembleRunner
+    from ribca_tpu.models.registry import ModelRegistry
+    from ribca_tpu.panels.parser import MarkerParser
+    from ribca_tpu.panels.vocab import PANELS
+    from ribca_tpu.parallel.mesh import (
+        cell_sharding,
+        get_mesh,
+        replicated_sharding,
+    )
+
+    mesh = get_mesh(n_devices)
+    markers = sorted({m for v in PANELS.values() for m in v})
+    with tempfile.NamedTemporaryFile("w", suffix=".txt",
+                                     delete=False) as f:
+        f.write("\n".join(markers) + "\n")
+    parser = MarkerParser(strict=True)
+    parser.parse(f.name)
+    registry = ModelRegistry("/nonexistent-use-random", allow_random=True)
+    runner = EnsembleRunner(
+        parser, registry, n_channels=len(markers), infer=False,
+        dtype=jnp.bfloat16, mesh=mesh,
+    )
+    params, imp = runner._params_on_device()
+
+    chunk = CHUNK - CHUNK % n_devices or n_devices
+    rng = np.random.default_rng(0)
+    patches = jax.device_put(
+        rng.normal(size=(chunk, len(markers), 40, 40)).astype(np.float32),
+        cell_sharding(mesh),
+    )
+
+    # shardings ride on the committed input arrays (device_put above);
+    # jit propagates them, so no in_shardings spec is needed here
+    @jax.jit
+    def chained(patches, n, params, imp):
+        def body(i, carry):
+            probs = runner.forward(patches + carry, params, imp)
+            return 1e-9 * sum(p.sum() for p in probs.values())
+
+        return lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    def timed(n):
+        t0 = time.perf_counter()
+        float(chained(patches, n, params, imp))
+        return time.perf_counter() - t0
+
+    timed(N1)
+    deltas = []
+    for _ in range(3):
+        t_short = timed(N1)
+        t_long = timed(N2)
+        deltas.append(t_long - t_short)
+    dt = float(np.median(deltas))
+    if dt <= 0:
+        return chunk * N2 / t_long
+    return chunk * (N2 - N1) / dt
+
+
 def measure_tpu_infer() -> float:
     runner, n_channels = _build_runner(infer=True)
     return _chained_throughput(runner, n_channels)
@@ -661,6 +732,16 @@ def _measure_torch_baselines() -> dict:
 
 
 def main():
+    if "--mesh" in sys.argv:
+        n = int(sys.argv[sys.argv.index("--mesh") + 1])
+        rate = measure_tpu_mesh(n)
+        print(json.dumps({
+            "metric": f"ensemble_inference_throughput_mesh{n}",
+            "value": round(rate, 1),
+            "unit": "cells/sec",
+            "vs_baseline": 0.0,
+        }))
+        return
     baseline = _measure_torch_baselines()
     ours = measure_tpu()
     infer_ours = measure_tpu_infer()
