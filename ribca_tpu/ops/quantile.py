@@ -89,6 +89,81 @@ def _select_round(x, lo, hi, valid_h, valid_w, bins: int = SELECT_BINS):
     return jax.vmap(one)(x, lo, hi)
 
 
+# one full-stack _select_round materializes an int32 bin-index array the
+# size of the stack (the scatter-add's indices cannot fuse away): at
+# whole-slide scale that was a 4.6 GB HLO temp on top of the 4.26 GB
+# prenorm cache — an 19.1 GB program on a 15.75 GB chip (observed OOM,
+# r4). Stacks above this element count run the round in row blocks.
+SELECT_BLOCK_ELEMS = 256 << 20  # ~1 GB of f32 per block
+
+
+@functools.partial(jax.jit, static_argnames=("bins", "rows"))
+def _select_round_block(x, start, r0c, lo, hi, valid_h, valid_w,
+                        bins: int, rows: int):
+    """_select_round over the row block [start, start+rows) of ``x``,
+    sliced on device (``r0c`` = clamped slice origin; rows the slice
+    re-reads below ``start`` are masked out so overlap never
+    double-counts)."""
+    blk = jax.lax.dynamic_slice_in_dim(x, r0c, rows, axis=1)
+    grow = r0c + jnp.arange(rows)
+    rvalid = (grow[:, None] >= start) & (grow[:, None] < valid_h)
+    cols = jnp.arange(x.shape[2])[None, :] < valid_w
+    valid = rvalid & cols
+
+    def one(ch, l, h):
+        inr = valid & (ch >= l) & (ch < h)
+        c_less = jnp.sum(valid & (ch < l), dtype=jnp.int32)
+        width = jnp.maximum(h - l, jnp.float32(1e-45))
+        idx = jnp.clip(
+            ((ch - l) * (jnp.float32(bins) / width)).astype(jnp.int32),
+            0, bins - 1,
+        )
+        hist = jnp.zeros((bins,), jnp.int32).at[idx.reshape(-1)].add(
+            inr.reshape(-1).astype(jnp.int32)
+        )
+        in_min = jnp.min(jnp.where(inr, ch, jnp.inf))
+        in_max = jnp.max(jnp.where(inr, ch, -jnp.inf))
+        n_min = jnp.sum(inr & (ch == in_min), dtype=jnp.int32)
+        n_max = jnp.sum(inr & (ch == in_max), dtype=jnp.int32)
+        return (hist, c_less, in_min, in_max, n_min, n_max,
+                jnp.sum(inr, dtype=jnp.int32))
+
+    return jax.vmap(one)(blk, lo, hi)
+
+
+def _select_round_any(x, lo, hi, valid_h, valid_w, bins: int):
+    """Route one refinement pass whole-stack or blocked by size; blocked
+    results merge exactly (hist/counts sum; extrema min/max with their
+    multiplicities summed over the blocks attaining them)."""
+    c, h, w = x.shape
+    if c * h * w <= SELECT_BLOCK_ELEMS:
+        return _select_round(x, lo, hi, valid_h, valid_w, bins=bins)
+    rows = max(SELECT_BLOCK_ELEMS // max(c * w, 1), 128)
+    parts = []
+    for start in range(0, h, rows):
+        r0c = min(start, max(h - rows, 0))
+        parts.append([
+            np.asarray(a) for a in _select_round_block(
+                x, start, r0c, lo, hi, valid_h, valid_w,
+                bins=bins, rows=min(rows, h),
+            )
+        ])
+    hist = np.sum([p[0] for p in parts], axis=0)
+    c_less = np.sum([p[1] for p in parts], axis=0, dtype=np.int64)
+    mins = np.stack([p[2] for p in parts])        # (B, C)
+    maxs = np.stack([p[3] for p in parts])
+    in_min = mins.min(axis=0)
+    in_max = maxs.max(axis=0)
+    n_min = np.sum(
+        np.stack([p[4] for p in parts]) * (mins == in_min[None]), axis=0
+    )
+    n_max = np.sum(
+        np.stack([p[5] for p in parts]) * (maxs == in_max[None]), axis=0
+    )
+    in_cnt = np.sum([p[6] for p in parts], axis=0, dtype=np.int64)
+    return hist, c_less, in_min, in_max, n_min, n_max, in_cnt
+
+
 @jax.jit
 def _channel_extrema(x, valid_h, valid_w):
     """Per-channel (nanmax, nanmin, any>0) respecting the valid bounds.
@@ -173,7 +248,7 @@ def orderstats_select(x, ranks, n_valid: int, valid_h, valid_w,
     failed = np.zeros((c,), bool)
     for _ in range(MAX_ROUNDS):
         hist, c_less, in_min, in_max, n_min, n_max, in_cnt = (
-            np.asarray(a) for a in _select_round(
+            np.asarray(a) for a in _select_round_any(
                 x, jnp.asarray(lo), jnp.asarray(hi),
                 valid_h, valid_w, bins=bins,
             )

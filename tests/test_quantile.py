@@ -157,3 +157,40 @@ def test_amax100_beyond_f32_integer_precision():
 
     sel = exact_percentile(jnp.asarray(x), 100.0, n, n_h, n_w)
     np.testing.assert_array_equal(sel[0], got)
+
+
+def test_blocked_select_round_matches_whole(monkeypatch):
+    """The row-blocked refinement pass (whole-slide HBM guard — a
+    full-stack round OOMed at 12288²x7, r4) merges to EXACTLY the
+    whole-stack round's results, including overlap masking of the
+    clamped last block and extrema multiplicities split across
+    blocks."""
+    from ribca_tpu.ops import quantile as q
+
+    rng = np.random.default_rng(5)
+    x = np.floor(rng.random((3, 101, 53)) * 50).astype(np.float32)
+    xm = _masked(x, 97, 50)
+    lo = np.full(3, 0.0, np.float32)
+    hi = np.full(3, 50.0, np.float32)
+
+    whole = [np.asarray(a) for a in q._select_round(
+        jnp.asarray(xm), jnp.asarray(lo), jnp.asarray(hi), 97, 50,
+        bins=q.SELECT_BINS,
+    )]
+    monkeypatch.setattr(q, "SELECT_BLOCK_ELEMS", 3 * 16 * 53)
+    blocked = [np.asarray(a) for a in q._select_round_any(
+        jnp.asarray(xm), jnp.asarray(lo), jnp.asarray(hi), 97, 50,
+        bins=q.SELECT_BINS,
+    )]
+    for w, b, name in zip(whole, blocked,
+                          ("hist", "c_less", "min", "max", "n_min",
+                           "n_max", "cnt")):
+        np.testing.assert_array_equal(w, b, err_msg=name)
+
+    # end-to-end: the full select over the blocked rounds stays bitwise
+    got = q.exact_percentile(jnp.asarray(xm), 99.8, 97 * 50, 97, 50)
+    ref = np.asarray([
+        np.asarray(_pinned_ref(jnp.asarray(xm[i]), 99.8))
+        for i in range(3)
+    ])
+    np.testing.assert_array_equal(got, ref)
