@@ -131,6 +131,22 @@ def _select_round_block(x, start, r0c, lo, hi, valid_h, valid_w,
     return jax.vmap(one)(blk, lo, hi)
 
 
+def _f32_down(v64: np.float64) -> np.float32:
+    """Largest f32 <= v64 (round toward -inf)."""
+    f = np.float32(v64)
+    if np.float64(f) > v64:
+        return np.nextafter(f, np.float32(-np.inf))
+    return f
+
+
+def _f32_up(v64: np.float64) -> np.float32:
+    """Smallest f32 >= v64 (round toward +inf)."""
+    f = np.float32(v64)
+    if np.float64(f) < v64:
+        return np.nextafter(f, np.float32(np.inf))
+    return f
+
+
 def _select_round_any(x, lo, hi, valid_h, valid_w, bins: int):
     """Route one refinement pass whole-stack or blocked by size; blocked
     results merge exactly (hist/counts sum; extrema min/max with their
@@ -246,6 +262,7 @@ def orderstats_select(x, ranks, n_valid: int, valid_h, valid_w,
     ).astype(np.float32)
     done = np.zeros((c,), bool)
     failed = np.zeros((c,), bool)
+    fail_reason = {}
     for _ in range(MAX_ROUNDS):
         hist, c_less, in_min, in_max, n_min, n_max, in_cnt = (
             np.asarray(a) for a in _select_round_any(
@@ -261,6 +278,10 @@ def orderstats_select(x, ranks, n_valid: int, valid_h, valid_w,
                 # bracket slipped past a rank (cannot happen with the
                 # ±1-bin margin; guard loudly -> exact sort fallback)
                 failed[i] = True
+                fail_reason[i] = (
+                    f"rank-slip r_ins={r_ins} c_less={int(c_less[i])} "
+                    f"in_cnt={int(in_cnt[i])} lo={lo[i]} hi={hi[i]}"
+                )
                 continue
             if int(n_min[i]) + int(n_max[i]) >= int(in_cnt[i]):
                 # <= 2 distinct values left: every rank picks directly
@@ -274,43 +295,69 @@ def orderstats_select(x, ranks, n_valid: int, valid_h, valid_w,
             w = np.float64(hi[i]) - np.float64(lo[i])
             e_lo = np.float64(lo[i]) + (min(bs) - 1) * w / bins
             e_hi = np.float64(lo[i]) + (max(bs) + 2) * w / bins
-            new_lo = np.float32(max(e_lo, np.float64(lo[i])))
-            new_hi = np.float32(min(e_hi, np.float64(hi[i])))
+            # DIRECTED f32 rounding of the bracket edges: nearest-rounding
+            # the upper edge can round DOWN past the target value, leaving
+            # an empty [a, a) bracket with the answer exactly at a
+            # (observed on the 12288²x7 slide: every channel rank-slipped
+            # at lo == hi and fell back to the 45 s sort). Lower edge
+            # rounds down, upper edge rounds up — the rank invariant
+            # "target in [lo, hi)" then survives every round.
+            new_lo = np.float32(max(_f32_down(e_lo), lo[i]))
+            new_hi = np.float32(min(_f32_up(e_hi), hi[i]))
             if new_lo == lo[i] and new_hi == hi[i]:
                 # bracket can no longer shrink in f32 with >2 distinct
                 # values inside (ulp-spaced cluster): exact fallback
                 failed[i] = True
+                fail_reason[i] = (
+                    f"bracket-stall lo={lo[i]} hi={hi[i]} "
+                    f"in_cnt={int(in_cnt[i])} n_min={int(n_min[i])} "
+                    f"n_max={int(n_max[i])} bins={bs}"
+                )
                 continue
             lo[i], hi[i] = new_lo, new_hi
         if (done | failed).all():
             break
     pending = np.flatnonzero(~done)
     if len(pending):
-        if fallback is None:
-            fallback = _sort_fallback(x, valid_h, valid_w)
-        # one fallback evaluation per RANK (each call sorts all C masked
-        # channels), indexed for every failed channel — not per channel
-        for j, r in enumerate(ranks):
-            fb_vals = fallback(r)
-            for i in pending:
-                out[i, j] = fb_vals[i]
+        import sys
+
+        for i in pending:
+            print(
+                "ribca_tpu quantile: exact-select fallback for channel "
+                f"{int(i)}: "
+                + fail_reason.get(int(i), "rounds exhausted"),
+                file=sys.stderr,
+            )
+        if fallback is not None:
+            for j, r in enumerate(ranks):
+                fb_vals = fallback(r)
+                for i in pending:
+                    out[i, j] = fb_vals[i]
+        else:
+            out[pending] = _sort_fallback_channels(
+                x, valid_h, valid_w, ranks, pending
+            )
     return out
 
 
-def _sort_fallback(x, valid_h, valid_w):
-    """Exact sort fallback; the masked sort runs ONCE (device-resident)
-    and each rank call is a (C,)-gather off it."""
-    cache: list = []
+def _sort_fallback_channels(x, valid_h, valid_w, ranks, channels):
+    """Exact sort fallback, one CHANNEL at a time (a full-stack masked
+    sort is a >2x-stack-size HLO temp — observed RESOURCE_EXHAUSTED on
+    the 12288²x7 whole slide next to its 4.26 GB prenorm cache); each
+    pending channel sorts once and serves every rank."""
 
-    def fb(rank: int):
-        if not cache:
-            rows = jnp.arange(x.shape[1])[:, None] < valid_h
-            cols = jnp.arange(x.shape[2])[None, :] < valid_w
-            xm = jnp.where(rows & cols, x, jnp.nan)
-            cache.append(jnp.sort(xm.reshape(x.shape[0], -1), axis=-1))
-        return np.asarray(cache[0][:, rank])
+    @jax.jit
+    def sorted_channel(ch):
+        rows = jnp.arange(ch.shape[0])[:, None] < valid_h
+        cols = jnp.arange(ch.shape[1])[None, :] < valid_w
+        return jnp.sort(jnp.where(rows & cols, ch, jnp.nan).ravel())
 
-    return fb
+    out = np.empty((len(channels), len(ranks)), np.float32)
+    for row, i in enumerate(channels):
+        s = sorted_channel(x[int(i)])
+        for j, r in enumerate(ranks):
+            out[row, j] = np.asarray(s[int(r)])
+    return out
 
 
 def _percentile_positions(amax: float, n_valid: int, counts_f32=None):
@@ -336,7 +383,8 @@ def _percentile_positions(amax: float, n_valid: int, counts_f32=None):
 
 
 def exact_percentile(x, amax: float, n_valid: int, valid_h, valid_w,
-                     ch_min=None, ch_max=None, counts_f32=None):
+                     ch_min=None, ch_max=None, counts_f32=None,
+                     fallback=None):
     """np.float32 (C,) == pinned_nanpercentile(masked channel, amax),
     bitwise, computed with O(N) passes instead of a sort."""
     low, high, low_w, high_w = _percentile_positions(
@@ -344,7 +392,8 @@ def exact_percentile(x, amax: float, n_valid: int, valid_h, valid_w,
     )
     ranks = [low] if high == low else [low, high]
     vals = orderstats_select(x, ranks, n_valid, valid_h, valid_w,
-                             ch_min=ch_min, ch_max=ch_max)
+                             ch_min=ch_min, ch_max=ch_max,
+                             fallback=fallback)
     v_lo = vals[:, 0]
     v_hi = vals[:, -1]
     return _interp(v_lo, v_hi, low_w, high_w)

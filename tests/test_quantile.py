@@ -194,3 +194,28 @@ def test_blocked_select_round_matches_whole(monkeypatch):
         for i in range(3)
     ])
     np.testing.assert_array_equal(got, ref)
+
+
+def test_ulp_dense_converges_without_fallback():
+    """Regression (r4 whole-slide): with values packed below f32 ulp
+    spacing the bracket refines to ulp scale, where nearest-rounding the
+    f32 bracket edges could round the upper edge DOWN past the target —
+    an empty [a, a) bracket, rank-slip, and a silent 45 s sort fallback
+    on every channel. Directed edge rounding must converge with NO
+    fallback and stay bitwise equal to the pinned sort."""
+    from ribca_tpu.ops.quantile import exact_percentile
+
+    rng = np.random.default_rng(9)
+    # 200k values inside a 0.01-wide window at ~191: spacing ~5e-8,
+    # f32 ulp at that magnitude ~1.5e-5 -> heavy ulp clustering
+    vals = (191.0 + rng.random(200_000) * 0.01).astype(np.float32)
+    x = vals.reshape(1, 400, 500)
+
+    def no_fallback(rank):
+        raise AssertionError("sort fallback triggered")
+
+    for amax in (99.8, 97.3, 50.0):
+        got = exact_percentile(jnp.asarray(x), amax, x[0].size, 400, 500,
+                               fallback=no_fallback)
+        ref = np.asarray(_pinned_ref(jnp.asarray(x[0]), amax))
+        np.testing.assert_array_equal(got[0], ref)
