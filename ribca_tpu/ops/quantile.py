@@ -52,8 +52,32 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-SELECT_BINS = 4096
+# 256 bins: the iota-equality histogram costs ~linearly in bins; 256
+# still shrinks the bracket ~85x per round (b±1 margin), resolving
+# real slides in ~5-7 O(N) passes
+SELECT_BINS = 256
 MAX_ROUNDS = 28
+
+
+def _bin_hist(idx, inr, bins: int):
+    """Exact in-bracket bin counts; formulation routed by backend.
+
+    TPU: iota-equality reduce — the (N,)-element scatter-add lowers ~10x
+    under HBM bandwidth there (measured 2.1 s per 268M-element block vs
+    0.11 s for this form at bins=256; scatter serialization), and it was
+    the entire cost of the whole-slide stats stage. CPU: the scatter IS
+    the fast path (the broadcast compare materializes (N, bins) there —
+    a 5x test-suite slowdown measured). Both produce identical integer
+    counts, so the routing cannot change results."""
+    if jax.default_backend() == "cpu":
+        return jnp.zeros((bins,), jnp.int32).at[idx.reshape(-1)].add(
+            inr.reshape(-1).astype(jnp.int32)
+        )
+    return jnp.sum(
+        (idx[:, :, None] == jnp.arange(bins, dtype=jnp.int32))
+        & inr[:, :, None],
+        axis=(0, 1), dtype=jnp.int32,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("bins",))
@@ -76,9 +100,7 @@ def _select_round(x, lo, hi, valid_h, valid_w, bins: int = SELECT_BINS):
             ((ch - l) * (jnp.float32(bins) / width)).astype(jnp.int32),
             0, bins - 1,
         )
-        hist = jnp.zeros((bins,), jnp.int32).at[idx.reshape(-1)].add(
-            inr.reshape(-1).astype(jnp.int32)
-        )
+        hist = _bin_hist(idx, inr, bins)
         in_min = jnp.min(jnp.where(inr, ch, jnp.inf))
         in_max = jnp.max(jnp.where(inr, ch, -jnp.inf))
         n_min = jnp.sum(inr & (ch == in_min), dtype=jnp.int32)
@@ -118,9 +140,7 @@ def _select_round_block(x, start, r0c, lo, hi, valid_h, valid_w,
             ((ch - l) * (jnp.float32(bins) / width)).astype(jnp.int32),
             0, bins - 1,
         )
-        hist = jnp.zeros((bins,), jnp.int32).at[idx.reshape(-1)].add(
-            inr.reshape(-1).astype(jnp.int32)
-        )
+        hist = _bin_hist(idx, inr, bins)
         in_min = jnp.min(jnp.where(inr, ch, jnp.inf))
         in_max = jnp.max(jnp.where(inr, ch, -jnp.inf))
         n_min = jnp.sum(inr & (ch == in_min), dtype=jnp.int32)
