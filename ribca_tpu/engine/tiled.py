@@ -283,7 +283,8 @@ def _pad_band(band, pad: int):
     return jnp.pad(band, ((0, 0), (0, pad), (0, pad)))
 
 
-def prenorm_cached(image, config, band_rows: int, pad_extra: int = 0):
+def prenorm_cached(image, config, band_rows: int, pad_extra: int = 0,
+                   tracer=None):
     """Pass A in single-upload cache mode.
 
     Each band of rows is decoded once (decode-ahead thread) and uploaded
@@ -336,15 +337,16 @@ def prenorm_cached(image, config, band_rows: int, pad_extra: int = 0):
         pre = band_prenorm(x, blur=blur)
         cache = _insert_band(cache, pre[:, halo : halo + (e - s)], s)
 
-    for i, decoded in enumerate(_prefetch_spans(image, spans)):
-        # canonical width: pad columns on host (symmetric), upload once
-        raw[i] = jnp.asarray(_pad_cols(np.asarray(decoded), wb))
-        if i >= 1:
-            prenorm_one(i - 1)
-            if i >= 2:
-                raw[i - 2] = None  # free: only a sliding window stays raw
-    if n_b:
-        prenorm_one(n_b - 1)
+    with trace_stage(tracer, "device.prenorm.bands", quiet=True):
+        for i, decoded in enumerate(_prefetch_spans(image, spans)):
+            # canonical width: pad columns on host (symmetric), upload once
+            raw[i] = jnp.asarray(_pad_cols(np.asarray(decoded), wb))
+            if i >= 1:
+                prenorm_one(i - 1)
+                if i >= 2:
+                    raw[i - 2] = None  # free: only the window stays raw
+        if n_b:
+            prenorm_one(n_b - 1)
 
     amax = float(config.upper_limit)
     if getattr(config, "exact_select_stats", True):
@@ -356,7 +358,8 @@ def prenorm_cached(image, config, band_rows: int, pad_extra: int = 0):
         # to sub-second
         from ribca_tpu.ops.quantile import exact_norm_stats
 
-        th, dn, sm, sg = exact_norm_stats(cache, amax, h * w, h, w)
+        with trace_stage(tracer, "device.prenorm.stats", quiet=True):
+            th, dn, sm, sg = exact_norm_stats(cache, amax, h * w, h, w)
         return (cache, jnp.asarray(th), jnp.asarray(dn),
                 jnp.asarray(sm), jnp.asarray(sg))
     # canonical stats shape: slice each channel's rows at a bucket so the
@@ -444,7 +447,7 @@ def run_image_tiled(
         with trace_stage(tracer, "device.prenorm", quiet=True):
             pre_cache, thresh, denom, scaled_min, has_signal = (
                 prenorm_cached(image, config, band_rows,
-                               pad_extra=patch_size)
+                               pad_extra=patch_size, tracer=tracer)
             )
         min_val = scaled_min
         thresh_d = jax.device_put(thresh, rep)

@@ -158,14 +158,23 @@ def main() -> int:
                 results["C_banded"])
     fixture_effect = a - bb
     banded_effect = abs(bb - c)
+    if diffs == 0 and fixture_effect > 0.05:
+        conclusion = "Density/geometry artifact — banded path exonerated."
+    elif diffs == 0 and abs(fixture_effect) <= 0.05:
+        conclusion = (
+            "No cliff from density OR banding: the r3 session-8 0.600 "
+            "at 500k is attributable to that run's calibration "
+            "instance (measured 2026-08-20: a fresh calibration scores "
+            "0.793 on the full 500k whole slide — see BASELINE.md)."
+        )
+    else:
+        conclusion = ("INVESTIGATE: banded path diverges or density is "
+                      "not the cause.")
     print(
         f"VERDICT: e2e-geometry acc {a:.3f}; whole-slide-density acc "
         f"{bb:.3f} (fixture effect {fixture_effect:+.3f}); banded vs "
         f"single-shot diff {banded_effect:.4f} ({diffs} label flips). "
-        + ("Density/geometry artifact — banded path exonerated."
-           if diffs == 0 and fixture_effect > 0.05
-           else "INVESTIGATE: banded path diverges or density is not "
-                "the cause.")
+        + conclusion
     )
     return 0 if diffs == 0 else 1
 
