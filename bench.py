@@ -748,6 +748,11 @@ def main():
     e2e_seconds, n_cells = measure_e2e()
     cohort_rate, _ = measure_cohort()
     try:
+        agreement = measure_dtype_agreement()
+    except Exception as exc:  # never let the extra metric kill the line
+        print(f"dtype agreement metric failed: {exc!r}", file=sys.stderr)
+        agreement = None
+    try:
         analytics_rate, analytics_base = measure_analytics()
     except Exception as exc:  # never let the extra metric kill the line
         print(f"analytics metric failed: {exc!r}", file=sys.stderr)
@@ -785,6 +790,14 @@ def main():
                 ),
             },
         ] + ([
+            {
+                "metric": "bf16_f32_label_agreement",
+                "value": round(agreement["agreement"], 4),
+                "unit": "fraction",
+                # reference parity target: f32 torch labels (1.0)
+                "vs_baseline": round(agreement["agreement"], 4),
+            },
+        ] if agreement else []) + ([
             {
                 "metric": "analytics_tissue_region_200k",
                 "value": round(analytics_rate, 1),

@@ -379,13 +379,17 @@ def knn_indices_binned(
 
 def _ms_feats_from_idx(idx, types_pad, ks: tuple, n_types: int,
                        extra_k: int = 0):
-    """(Q, k) neighbor indices (-1 = none) -> (Q, len(ks)*T) composition
-    features, cumulative-one-hot semantics identical to the host path
-    (analytics/spatial.multiscale_composition). ``extra_k`` > 0
-    additionally returns the RAW neighbor-type counts over the extra_k
-    nearest (Q, T) — the per-cell ingredient of the neighborhood
-    co-occurrence matrix (spatial_methods.py:36-40), so callers that
-    need both never run a second kNN pass."""
+    """(Q, k) neighbor indices (-1 = none) -> (Q, len(ks), T) raw
+    neighbor-type COUNTS, cumulative-one-hot semantics identical to the
+    host path (analytics/spatial.multiscale_composition). Counts (not
+    the normalized fractions) cross the wire — uint8 when every k fits,
+    4x fewer bytes than f32 fractions on a tunneled chip — and the
+    caller divides on host (``_feats_from_counts``), which is bitwise
+    identical: the division is the same single-rounded f32 op on the
+    same integers. ``extra_k`` > 0 additionally returns the counts over
+    the extra_k nearest (Q, T) — the per-cell ingredient of the
+    neighborhood co-occurrence matrix (spatial_methods.py:36-40), so
+    callers that need both never run a second kNN pass."""
     nb = jnp.take(types_pad, jnp.maximum(idx, 0), axis=0)
     valid = (idx >= 0).astype(jnp.float32)
     onehot = jax.nn.one_hot(nb, n_types, dtype=jnp.float32)
@@ -393,13 +397,25 @@ def _ms_feats_from_idx(idx, types_pad, ks: tuple, n_types: int,
     cum = jnp.cumsum(onehot, axis=1)                    # (Q, k, T)
     ks_idx = jnp.asarray([kk - 1 for kk in ks], jnp.int32)
     counts = jnp.take(cum, ks_idx, axis=1)              # (Q, nks, T)
-    tot = jnp.sum(counts, axis=-1, keepdims=True)
-    feats = jnp.where(tot > 0, counts / jnp.maximum(tot, 1e-30), 0.0)
     extra = (
         cum[:, extra_k - 1] if extra_k > 0
         else jnp.zeros((idx.shape[0], n_types), jnp.float32)
     )
-    return feats.reshape(idx.shape[0], len(ks) * n_types), extra
+    wire = jnp.uint8 if max(max(ks), extra_k) <= 255 else jnp.int32
+    return counts.astype(wire), extra.astype(wire)
+
+
+def _feats_from_counts(counts: np.ndarray) -> np.ndarray:
+    """(Q, nks, T) integer counts -> (Q, nks*T) f32 composition
+    fractions; the identical f32 division the device used to run."""
+    counts = counts.astype(np.float32)
+    tot = counts.sum(axis=-1, keepdims=True)
+    feats = np.where(
+        tot > 0, counts / np.maximum(tot, np.float32(1e-30)),
+        np.float32(0),
+    )
+    q, nks, t = counts.shape
+    return feats.reshape(q, nks * t)
 
 
 @functools.partial(
@@ -495,7 +511,7 @@ def multiscale_features_device(
 
             def land(item):
                 s, m, f, x, r = item
-                out[s : s + m] = np.asarray(f)[:m]
+                out[s : s + m] = _feats_from_counts(np.asarray(f)[:m])
                 if ek:
                     extra_out[s : s + m] = np.asarray(x)[:m]
                 rks[s : s + m] = np.asarray(r)[:m]
@@ -541,7 +557,7 @@ def multiscale_features_device(
 
     def land_brute(item):
         s, m, f, x = item
-        out[s : s + m] = np.asarray(f)[:m]
+        out[s : s + m] = _feats_from_counts(np.asarray(f)[:m])
         if ek:
             extra_out[s : s + m] = np.asarray(x)[:m]
 
