@@ -234,9 +234,20 @@ def _binned_setup(coords, k, mesh, bin_margin: float,
     xy = np.ascontiguousarray(coords, dtype=np.float32)
 
     # robust extents: outliers must not stretch the grid (they clamp to
-    # edge bins, fail the exactness bound, and get host-patched)
-    lo = np.percentile(xy, 1, axis=0)
-    hi = np.percentile(xy, 99, axis=0)
+    # edge bins, fail the exactness bound, and get host-patched) — but
+    # clamping at the 1-99% percentiles when there ARE no outliers piles
+    # ~1% of points per side into the edge bins (measured at 500k
+    # uniform: max occupancy 313, all on edges, vs 157 interior), which
+    # doubles the padded bin capacity and every query window's cost. So:
+    # extend each side to the true extent unless that stretches the
+    # span materially (> 5% — genuine outliers).
+    lo_p = np.percentile(xy, 1, axis=0)
+    hi_p = np.percentile(xy, 99, axis=0)
+    span_p = np.maximum(hi_p - lo_p, 1e-6)
+    lo_t = xy.min(axis=0)
+    hi_t = xy.max(axis=0)
+    lo = np.where(lo_p - lo_t <= 0.05 * span_p, lo_t, lo_p)
+    hi = np.where(hi_t - hi_p <= 0.05 * span_p, hi_t, hi_p)
     span = np.maximum(hi - lo, 1e-6)
     area = float(span[0]) * float(span[1])
     if area <= 0 or not np.isfinite(area):
