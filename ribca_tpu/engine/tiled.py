@@ -283,6 +283,12 @@ def _pad_band(band, pad: int):
     return jnp.pad(band, ((0, 0), (0, pad), (0, pad)))
 
 
+# per-channel pixel count above which the exact select replaces the
+# per-channel sort in prenorm_cached (crossover measured on v5e:
+# sort ~0.5 s / select ~5 s at 9M px; sort ~45 s / select ~9 s at 151M)
+SELECT_STATS_MIN_PIXELS = 32 << 20
+
+
 def prenorm_cached(image, config, band_rows: int, pad_extra: int = 0,
                    tracer=None):
     """Pass A in single-upload cache mode.
@@ -349,7 +355,16 @@ def prenorm_cached(image, config, band_rows: int, pad_extra: int = 0,
             prenorm_one(n_b - 1)
 
     amax = float(config.upper_limit)
-    if getattr(config, "exact_select_stats", True):
+    # the histogram-refinement select beats the per-channel device sort
+    # only at scale: its cost is ~5-7 host-driven rounds of tunnel round
+    # trips (measured ~5 s at 3000²x7 where the sort takes ~0.5 s), while
+    # the TPU sort blows up superlinearly (45 s at 12288²x7 where the
+    # select takes ~9 s). Route by per-channel pixel count.
+    use_select = (
+        getattr(config, "exact_select_stats", True)
+        and h * w > SELECT_STATS_MIN_PIXELS
+    )
+    if use_select:
         # histogram-refinement select (ops/quantile.py): the exact
         # nanpercentile scalars in a handful of O(N) passes instead of a
         # per-channel 150M-element device sort — bitwise identical

@@ -116,7 +116,10 @@ def _select_round(x, lo, hi, valid_h, valid_w, bins: int = SELECT_BINS):
 # whole-slide scale that was a 4.6 GB HLO temp on top of the 4.26 GB
 # prenorm cache — an 19.1 GB program on a 15.75 GB chip (observed OOM,
 # r4). Stacks above this element count run the round in row blocks.
-SELECT_BLOCK_ELEMS = 256 << 20  # ~1 GB of f32 per block
+SELECT_BLOCK_ELEMS = 640 << 20  # ~2.5 GB of f32 per block:
+# fewer blocks = fewer per-round tunnel round trips; the block
+# slice + fused reduce temps stay well under HBM next to the
+# 4.26 GB whole-slide cache
 
 
 @functools.partial(jax.jit, static_argnames=("bins", "rows"))
@@ -425,16 +428,18 @@ def _interp_jit(v_lo, v_hi, high_w):
 
 
 def _interp(v_lo, v_hi, low_w, high_w):
-    """pinned_nanpercentile's final lerp as a SCALAR jit per channel: the
-    single-mul form has exactly one possible fma, so the backend rounds
-    it here exactly as inside the production stats graphs (host numpy
-    cannot replicate an fma in f32; see pinned_nanpercentile)."""
+    """pinned_nanpercentile's final lerp as ONE vectorized (C,) jit: the
+    single-mul form has exactly one possible fma per lane, so the
+    backend rounds each channel exactly as the scalar production stats
+    graphs do (host numpy cannot replicate an fma in f32; see
+    pinned_nanpercentile; bitwise equality with the sort path is pinned
+    by test_quantile.py). One dispatch instead of C round trips."""
     del low_w
-    return np.asarray([
-        np.asarray(_interp_jit(jnp.float32(v_lo[i]), jnp.float32(v_hi[i]),
-                               jnp.float32(high_w)))
-        for i in range(len(v_lo))
-    ], np.float32)
+    return np.asarray(_interp_jit(
+        jnp.asarray(v_lo, jnp.float32),
+        jnp.asarray(v_hi, jnp.float32),
+        jnp.float32(high_w),
+    ), np.float32)
 
 
 def exact_norm_stats(x, amax: float, n_valid: int, valid_h, valid_w):
