@@ -33,7 +33,10 @@ from ribca_tpu.ops.normalize import (
 )
 from ribca_tpu.ops.patches import extract_patches
 from ribca_tpu.ops.shapes import bucket_dim, pad_image_chw, pad_mask_hw
-from ribca_tpu.parallel.mesh import cell_sharding, replicated_sharding
+from ribca_tpu.parallel.mesh import (
+    cell_sharding_axis1,
+    replicated_sharding,
+)
 
 MIN_CHUNK = 64
 
@@ -55,7 +58,10 @@ class ImageRecord:
     mean_col: np.ndarray          # (N,) float64 centroid cols
     mask: np.ndarray              # (H, W) int32 instance mask
     intensity_full: np.ndarray    # (N, C) mean intensities in [0, 1]
-    panel_probs: dict             # {panel: (N, n_classes) f32}
+    panel_probs: dict             # {panel: (N, n_classes) f32}; under
+                                  # device voting: {"vote_stats": (N, 3)}
+                                  # — [argmax, best vote, min-Others]
+                                  # (engine/voting.finish_votes)
 
     @property
     def n_cells(self) -> int:
@@ -268,8 +274,6 @@ def run_image(
     chunk = min(packer.pack,
                 chunk_size_for(min(max(n, 1), config.chunk_cells),
                                config.chunk_cells, n_dev))
-    from ribca_tpu.parallel.mesh import cell_sharding_axis1
-
     sh = cell_sharding_axis1(mesh)
     sink = packer.make_sink(n)
 
