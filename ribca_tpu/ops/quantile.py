@@ -154,6 +154,20 @@ def _select_round_block(x, start, r0c, lo, hi, valid_h, valid_w,
     return jax.vmap(one)(blk, lo, hi)
 
 
+def _use_device_loop() -> bool:
+    """Route the refinement walk: the single-dispatch device loop on
+    accelerators (no per-round tunnel RTTs), the host-driven loop on
+    CPU (where the iota-reduce is slow and RTTs are free). Both produce
+    bitwise-identical results; ``RIBCA_SELECT_DEVICE_LOOP=0/1``
+    overrides (tests force both on CPU)."""
+    import os
+
+    env = os.environ.get("RIBCA_SELECT_DEVICE_LOOP")
+    if env is not None:
+        return env not in ("0", "false", "")
+    return jax.default_backend() != "cpu"
+
+
 def _f32_down(v64: np.float64) -> np.float32:
     """Largest f32 <= v64 (round toward -inf)."""
     f = np.float32(v64)
@@ -201,6 +215,110 @@ def _select_round_any(x, lo, hi, valid_h, valid_w, bins: int):
     )
     in_cnt = np.sum([p[6] for p in parts], axis=0, dtype=np.int64)
     return hist, c_less, in_min, in_max, n_min, n_max, in_cnt
+
+
+@functools.partial(jax.jit, static_argnames=("bins", "max_rounds"))
+def _select_device_loop(x, r1, r2, lo0, hi0, valid_h, valid_w,
+                        bins: int, max_rounds: int):
+    """The ENTIRE bracket-refinement walk as one device program
+    (lax.while_loop): on a tunneled TPU the host-driven loop pays
+    (rounds x blocks) round trips — measured 9 s quiet / 24 s contended
+    for ~5 rounds at 12288²x7 where the per-round device compute is
+    0.72 s — so the narrowing logic runs on device and ONE dispatch
+    returns every channel's order statistics (or a failed flag for the
+    sort fallback).
+
+    Narrowing parity with the host loop: the bin containing each rank
+    is located from EXACT in-bracket counts each round, so bracket
+    arithmetic only has to keep the target inside [lo, hi) — edges are
+    computed in f32 (no f64 on TPU) and pushed one ulp OUTWARD with
+    nextafter, which the ±1-bin margin absorbs by orders of magnitude.
+    Converged values are exact order statistics regardless of the walk,
+    so results are bitwise identical to the host loop's (pinned by
+    test_quantile.py::test_device_loop_matches_host).
+
+    Returns (vals (C, 2) f32 for ranks r1 <= r2, done (C,), failed (C,)).
+    """
+    c = x.shape[0]
+    rows = jnp.arange(x.shape[1])[:, None] < valid_h
+    cols = jnp.arange(x.shape[2])[None, :] < valid_w
+    valid = rows & cols
+    iota = jnp.arange(bins, dtype=jnp.int32)
+
+    def one(ch, l, h):
+        inr = valid & (ch >= l) & (ch < h)
+        c_less = jnp.sum(valid & (ch < l), dtype=jnp.int32)
+        width = jnp.maximum(h - l, jnp.float32(1e-45))
+        idx = jnp.clip(
+            ((ch - l) * (jnp.float32(bins) / width)).astype(jnp.int32),
+            0, bins - 1,
+        )
+        hist = jnp.sum(
+            (idx[:, :, None] == iota) & inr[:, :, None],
+            axis=(0, 1), dtype=jnp.int32,
+        )
+        in_min = jnp.min(jnp.where(inr, ch, jnp.inf))
+        in_max = jnp.max(jnp.where(inr, ch, -jnp.inf))
+        n_min = jnp.sum(inr & (ch == in_min), dtype=jnp.int32)
+        n_max = jnp.sum(inr & (ch == in_max), dtype=jnp.int32)
+        return (hist, c_less, in_min, in_max, n_min, n_max,
+                jnp.sum(inr, dtype=jnp.int32))
+
+    def body(state):
+        lo, hi, done, failed, vals, it = state
+        hist, c_less, in_min, in_max, n_min, n_max, in_cnt = (
+            jax.vmap(one)(x, lo, hi)
+        )
+        r_in1 = r1 - c_less
+        r_in2 = r2 - c_less
+        bad = ~(
+            (r_in1 >= 0) & (r_in1 < in_cnt)
+            & (r_in2 >= 0) & (r_in2 < in_cnt)
+        )
+        two = (n_min + n_max) >= in_cnt
+        v1 = jnp.where(r_in1 < n_min, in_min, in_max)
+        v2 = jnp.where(r_in2 < n_min, in_min, in_max)
+
+        cum = jnp.cumsum(hist, axis=1)
+        b1 = jnp.sum(cum < r_in1[:, None] + 1, axis=1, dtype=jnp.int32)
+        b2 = jnp.sum(cum < r_in2[:, None] + 1, axis=1, dtype=jnp.int32)
+        w = hi - lo
+        e_lo = lo + (jnp.minimum(b1, b2) - 1).astype(jnp.float32) * (
+            w / jnp.float32(bins)
+        )
+        e_hi = lo + (jnp.maximum(b1, b2) + 2).astype(jnp.float32) * (
+            w / jnp.float32(bins)
+        )
+        new_lo = jnp.maximum(jnp.nextafter(e_lo, jnp.float32(-jnp.inf)),
+                             lo)
+        new_hi = jnp.minimum(jnp.nextafter(e_hi, jnp.float32(jnp.inf)),
+                             hi)
+        stalled = (new_lo == lo) & (new_hi == hi)
+
+        act = ~(done | failed)
+        resolve = act & ~bad & two
+        vals = jnp.where(resolve[:, None],
+                         jnp.stack([v1, v2], axis=1), vals)
+        done = done | resolve
+        failed = failed | (act & (bad | (~two & stalled)))
+        step = act & ~bad & ~two & ~stalled
+        lo = jnp.where(step, new_lo, lo)
+        hi = jnp.where(step, new_hi, hi)
+        return lo, hi, done, failed, vals, it + 1
+
+    def cond(state):
+        _, _, done, failed, _, it = state
+        return jnp.any(~(done | failed)) & (it < max_rounds)
+
+    state = (
+        lo0, hi0,
+        jnp.zeros((c,), bool), jnp.zeros((c,), bool),
+        jnp.zeros((c, 2), jnp.float32), jnp.int32(0),
+    )
+    lo, hi, done, failed, vals, _ = jax.lax.while_loop(cond, body, state)
+    # rounds exhausted with work left counts as failed
+    failed = failed | ~(done | failed)
+    return vals, done, failed
 
 
 @jax.jit
@@ -271,6 +389,40 @@ def orderstats_select(x, ranks, n_valid: int, valid_h, valid_w,
         ch_max = np.asarray(mx) if ch_max is None else ch_max
         ch_min = np.asarray(mn) if ch_min is None else ch_min
     out = np.empty((c, len(ranks)), np.float32)
+
+    if _use_device_loop():
+        lo0 = jnp.asarray(np.asarray(ch_min, np.float32))
+        hi0 = jnp.asarray(np.nextafter(
+            np.asarray(ch_max, np.float32), np.float32(np.inf)
+        ).astype(np.float32))
+        vals, done, failed = _select_device_loop(
+            x, jnp.int32(ranks[0]), jnp.int32(ranks[-1]), lo0, hi0,
+            valid_h, valid_w, bins=bins, max_rounds=MAX_ROUNDS,
+        )
+        done = np.asarray(done)
+        vals = np.asarray(vals)
+        for j in range(len(ranks)):
+            out[:, j] = vals[:, 0 if ranks[j] == ranks[0] else 1]
+        pending = np.flatnonzero(~done)
+        if len(pending):
+            import sys
+
+            print(
+                "ribca_tpu quantile: device select loop fell back for "
+                f"channels {pending.tolist()} (narrow-bracket stall or "
+                "rank slip) — exact sort fallback",
+                file=sys.stderr,
+            )
+            if fallback is not None:
+                for j, r in enumerate(ranks):
+                    fb_vals = fallback(r)
+                    for i in pending:
+                        out[i, j] = fb_vals[i]
+            else:
+                out[pending] = _sort_fallback_channels(
+                    x, valid_h, valid_w, ranks, pending
+                )
+        return out
 
     # ONE bracket walk resolves every rank: the percentile's floor/ceil
     # ranks are adjacent, so they share the bracket (identical or

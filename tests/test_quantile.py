@@ -219,3 +219,44 @@ def test_ulp_dense_converges_without_fallback():
                                fallback=no_fallback)
         ref = np.asarray(_pinned_ref(jnp.asarray(x[0]), amax))
         np.testing.assert_array_equal(got[0], ref)
+
+
+def test_device_loop_matches_host(monkeypatch):
+    """The single-dispatch device refinement loop (TPU production path)
+    must return bitwise-identical order statistics to the host-driven
+    loop on every case corpus entry — both ultimately converge to exact
+    statistics, so any divergence is a walk bug."""
+    from ribca_tpu.ops import quantile as q
+
+    for name, x, vh, vw in _cases():
+        xm = _masked(x, vh, vw)
+        n = vh * vw
+        for amax in (99.8, 50.0, 100.0):
+            monkeypatch.setenv("RIBCA_SELECT_DEVICE_LOOP", "0")
+            host = q.exact_percentile(jnp.asarray(xm), amax, n, vh, vw)
+            monkeypatch.setenv("RIBCA_SELECT_DEVICE_LOOP", "1")
+            dev = q.exact_percentile(jnp.asarray(xm), amax, n, vh, vw)
+            np.testing.assert_array_equal(
+                dev, host, err_msg=f"{name} amax={amax}"
+            )
+
+
+def test_device_loop_ulp_dense(monkeypatch):
+    """Ulp-dense convergence through the device loop (same corpus as
+    the host-loop regression; the f32 outward-rounded edges must not
+    reintroduce the empty-bracket collapse)."""
+    from ribca_tpu.ops.quantile import exact_percentile
+
+    monkeypatch.setenv("RIBCA_SELECT_DEVICE_LOOP", "1")
+    rng = np.random.default_rng(9)
+    vals = (191.0 + rng.random(200_000) * 0.01).astype(np.float32)
+    x = vals.reshape(1, 400, 500)
+
+    def no_fallback(rank):
+        raise AssertionError("sort fallback triggered")
+
+    for amax in (99.8, 97.3, 50.0):
+        got = exact_percentile(jnp.asarray(x), amax, x[0].size, 400, 500,
+                               fallback=no_fallback)
+        ref = np.asarray(_pinned_ref(jnp.asarray(x[0]), amax))
+        np.testing.assert_array_equal(got[0], ref)
