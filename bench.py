@@ -732,6 +732,21 @@ def _measure_torch_baselines() -> dict:
 
 
 def main():
+    from ribca_tpu.utils.cache import install_stderr_aot_filter
+    from ribca_tpu.utils.wire import probe, probe_line
+
+    # drop benign same-host AOT tuning-feature spray from the recorded
+    # stderr (real ISA mismatches pass through — utils/cache.py)
+    install_stderr_aot_filter()
+    # wire rate first: the tunneled link swings 10-30x between sessions
+    # (BASELINE.md), so every wall number below is only comparable
+    # across sessions WITH this number next to it
+    try:
+        wire = probe()
+        print(probe_line(wire), file=sys.stderr)
+    except Exception as exc:
+        print(f"wire probe failed: {exc!r}", file=sys.stderr)
+        wire = {"mb_per_s": None, "error": repr(exc)}
     if "--mesh" in sys.argv:
         n = int(sys.argv[sys.argv.index("--mesh") + 1])
         rate = measure_tpu_mesh(n)
@@ -740,6 +755,7 @@ def main():
             "value": round(rate, 1),
             "unit": "cells/sec",
             "vs_baseline": 0.0,
+            "wire_mb_per_s": wire.get("mb_per_s"),
         }))
         return
     baseline = _measure_torch_baselines()
@@ -766,6 +782,7 @@ def main():
         "value": round(ours, 1),
         "unit": "cells/sec/chip",
         "vs_baseline": round(ours / baseline["cells_per_sec"], 2),
+        "wire_mb_per_s": wire.get("mb_per_s"),
         "extra": [
             {
                 "metric": "ensemble_infer_throughput",

@@ -121,6 +121,11 @@ class Annotator:
         self._colorize_thread = None
         self._colorize_err: BaseException | None = None
         self._colorize_args: tuple | None = None
+        # plots_prefetch state (marker heatmap + composition pies on one
+        # background thread, overlapping the device-bound region stage)
+        self._plots_thread = None
+        self._plots_err: BaseException | None = None
+        self._plots_done: set[tuple] = set()
         # multi-host runs: manifest indices of THIS host's slides, so
         # per-image output filenames keep their global numbering
         self._global_indices: list[int] | None = None
@@ -648,10 +653,70 @@ class Annotator:
 
     # -- outputs ------------------------------------------------------------
 
+    def plots_prefetch(self, heatmap_integrate: bool = True,
+                       composition_reduction: bool = True,
+                       composition_integrate: bool = False) -> None:
+        """Render the annotation-only figure outputs (marker heatmap +
+        composition pies) on ONE background thread so their matplotlib
+        wall time overlaps the device-bound ``tissue_region_analysis`` /
+        ``neighborhood_analysis`` stages. ``generate_heatmap()`` /
+        ``cell_type_composition()`` join the thread and skip re-rendering
+        when called with the same arguments.
+
+        pyplot state is global, so all figure rendering stays on this
+        single thread while it runs; callers must join (via the
+        corresponding methods) before rendering any other matplotlib
+        figure — the CLI calls ``generate_heatmap()`` before
+        ``neighborhood_analysis()`` (which plots from the caller's
+        thread), preserving that invariant."""
+        if not self.annotations or self._plots_thread is not None:
+            return
+        import threading
+
+        self._plots_err = None
+        jobs = [
+            ("heatmap", heatmap_integrate),
+            ("composition", composition_reduction, composition_integrate),
+        ]
+
+        def work():
+            try:
+                # overlapped with device stages -> separate trace key,
+                # like outputs.colorize_prefetch (trace readers must not
+                # sum overlapped seconds into the critical path)
+                with self.logger.stage("outputs.plots_prefetch",
+                                       quiet=True):
+                    for job in jobs:
+                        if job[0] == "heatmap":
+                            self._generate_heatmap(job[1])
+                        else:
+                            self._cell_type_composition(job[1], job[2])
+                        self._plots_done.add(job)
+            except BaseException as e:  # re-raised at join
+                self._plots_err = e
+
+        self._plots_thread = threading.Thread(
+            target=work, daemon=True, name="plots-prefetch"
+        )
+        self._plots_thread.start()
+
+    def _plots_join(self) -> None:
+        t = self._plots_thread
+        if t is None:
+            return
+        t.join()
+        self._plots_thread = None
+        if self._plots_err is not None:
+            err, self._plots_err = self._plots_err, None
+            raise err
+
     def generate_heatmap(self, integrate: bool = False) -> None:
         if not self.annotations:
             raise ValueError("No annotations to generate heatmap")
         with self.logger.stage("outputs.heatmap"):
+            self._plots_join()
+            if ("heatmap", integrate) in self._plots_done:
+                return  # rendered by the prefetch thread
             self._generate_heatmap(integrate)
 
     def _generate_heatmap(self, integrate: bool) -> None:
@@ -850,6 +915,9 @@ class Annotator:
         if not self.annotations:
             raise ValueError("No annotations to analyze")
         with self.logger.stage("outputs.composition"):
+            self._plots_join()
+            if ("composition", reduction, integrate) in self._plots_done:
+                return  # rendered by the prefetch thread
             self._cell_type_composition(reduction, integrate)
 
     def _cell_type_composition(self, reduction: bool,

@@ -24,10 +24,12 @@ def _run_pipeline(annotator: Annotator, bs: int, n_regions: int,
                   reference_ordering: bool = False):
     annotator.preprocess()
     annotator.predict(bs)
-    annotator.generate_heatmap(integrate=True)
-    # render the region-independent colorized maps on a host thread while
-    # the device computes tissue regions / neighborhoods; colorize() below
-    # joins it and paints only the tissue maps
+    # render the annotation-only figures (marker heatmap + composition
+    # pies) and the region-independent colorized maps on host threads
+    # while the device computes tissue regions / neighborhoods;
+    # generate_heatmap()/colorize()/cell_type_composition() below join
+    # and skip (or finish) the remaining pieces
+    annotator.plots_prefetch(heatmap_integrate=True)
     annotator.colorize_prefetch(from_script=True)
     if reference_ordering:
         annotator.export_annotations()
@@ -37,6 +39,7 @@ def _run_pipeline(annotator: Annotator, bs: int, n_regions: int,
         if n_regions > 0:
             annotator.tissue_region_analysis(n_regions)
         annotator.export_annotations()
+    annotator.generate_heatmap(integrate=True)
     annotator.neighborhood_analysis(integrate=True, normalize=True)
     annotator.colorize(from_script=True)
     annotator.cell_type_composition()

@@ -167,6 +167,115 @@ def _foreign_aot_features(log: str) -> set[str]:
     return feats - _BENIGN_TUNING_FEATURES
 
 
+_COMPILED_VS_HOST_RE = None
+
+
+def is_benign_aot_line(line: str) -> bool:
+    """True for the ONE class of stderr line safe to drop: an XLA:CPU
+    AOT-loader machine-feature-mismatch warning whose missing features
+    are only the LLVM tuning pseudo-features (``prefer-no-gather`` /
+    ``prefer-no-scatter``). XLA adds those at compile time but omits them
+    from the host feature list at load, so every same-host cross-process
+    cache hit logs one — pure noise that buries real errors in driver
+    artifacts (MULTICHIP_r04's tail was 100% this class). A mismatch
+    naming any REAL ISA feature (e.g. a missing avx512 subset) is the
+    genuinely-foreign-cache signal and always passes through.
+
+    Handles both shapes the loader emits: the single-feature
+    "Target machine feature +X is not supported" line and the full
+    "Compiled machine features [...] vs host machine features: [...]"
+    dump."""
+    if "cpu_aot_loader" not in line:
+        return False
+    single = _foreign_aot_features(line)
+    if single:
+        return False  # real ISA feature named -> loud
+    import re
+
+    global _COMPILED_VS_HOST_RE
+    if _COMPILED_VS_HOST_RE is None:
+        _COMPILED_VS_HOST_RE = re.compile(
+            r"Compiled machine features \[([^\]]*)\]\s*vs host machine "
+            r"features:\s*\[([^\]]*)\]"
+        )
+    m = _COMPILED_VS_HOST_RE.search(line)
+    if m:
+        needed = {
+            t[1:] for t in m.group(1).split(",") if t.startswith("+")
+        }
+        host = {t.strip() for t in m.group(2).split(",")}
+        missing = needed - host
+        return bool(missing) and missing <= _BENIGN_TUNING_FEATURES
+    # a cpu_aot_loader line in neither known shape: was it the
+    # single-feature form naming only benign features?
+    return bool(re.search(
+        r"Target machine feature \+?(?:"
+        + "|".join(sorted(_BENIGN_TUNING_FEATURES))
+        + r") is not\s+supported", line
+    ))
+
+
+def install_stderr_aot_filter():
+    """Route THIS PROCESS's fd 2 through a line classifier that drops
+    benign AOT tuning-feature spray and forwards everything else
+    untouched. XLA's C++ logging writes straight to fd 2, so a Python
+    ``sys.stderr`` wrapper cannot intercept it — this replaces fd 2 with
+    a pipe drained by a pump thread. Returns an ``uninstall()`` callable
+    that restores fd 2 and drains the pipe; also registered atexit so a
+    process that never uninstalls still flushes pending lines.
+
+    Installed by driver-facing entry points (``__graft_entry__`` dryrun,
+    ``bench.py``) so MULTICHIP/BENCH artifacts carry only real signal;
+    NOT by the production Annotator (a library must not re-plumb its
+    host process's file descriptors)."""
+    import atexit
+    import threading
+
+    r, w = os.pipe()
+    saved = os.dup(2)
+    os.dup2(w, 2)
+    os.close(w)
+
+    def pump():
+        buf = b""
+        try:
+            while True:
+                chunk = os.read(r, 1 << 16)
+                if not chunk:
+                    break
+                buf += chunk
+                while b"\n" in buf:
+                    line, buf = buf.split(b"\n", 1)
+                    _emit(line + b"\n")
+        finally:
+            if buf:
+                _emit(buf)
+            os.close(r)
+
+    def _emit(raw: bytes) -> None:
+        if not is_benign_aot_line(raw.decode("utf-8", "replace")):
+            os.write(saved, raw)
+
+    t = threading.Thread(target=pump, daemon=True,
+                         name="aot-stderr-filter")
+    t.start()
+
+    done = {"flag": False}
+
+    def uninstall():
+        if done["flag"]:
+            return
+        done["flag"] = True
+        os.dup2(saved, 2)   # new writes go straight out again
+        # the pipe's sole write end was fd 2; restoring it closes the
+        # pipe, the pump sees EOF, drains, and exits
+        t.join(timeout=5.0)
+        os.close(saved)
+
+    atexit.register(uninstall)
+    return uninstall
+
+
 def ensure_compile_cache() -> None:
     """Default-on cache for library-surface device paths (called by
     ``get_mesh``). Respects an earlier explicit configuration and the

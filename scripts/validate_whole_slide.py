@@ -48,6 +48,20 @@ RADIUS = 5             # grid spacing ~17 px at this density
 WALL_BOUND = 900.0     # warm full-pipeline bound (seconds)
 ACC_BOUND = 0.5        # planted-type accuracy floor (collapse detector)
 
+# --cells 1m: the "millions of cells per slide" claim (SURVEY §5) at
+# actual scale. 16384^2 x7 pushes the f32 prenorm footprint to ~7.5 GB,
+# past the HBM prenorm-cache budget, so this geometry also exercises the
+# histogram two-pass normalization fallback that 12288^2 never hits.
+if "--cells" in sys.argv:
+    _c = sys.argv[sys.argv.index("--cells") + 1].lower()
+    if _c in ("1m", "1000000"):
+        SIZE = 16_384
+        N_CELLS = 1_000_000
+        DIR = os.environ.get("RIBCA_WS_DIR", "/tmp/ribca_whole_slide_1m")
+        WALL_BOUND = float(os.environ.get("RIBCA_WS_BOUND", 900.0))
+    elif _c not in ("500k", "500000"):
+        raise SystemExit(f"unknown --cells value {_c} (500k|1m)")
+
 
 def fixture():
     from PIL import Image
@@ -143,9 +157,25 @@ def once(marker_path, img_path, mask_path, models_dir, tag):
     return wall, trace, os.path.join(run_dir, "results")
 
 
+def wire_rate() -> float | None:
+    """MB/s host->device right now — the 2.1 GB slide upload swings
+    6 s <-> 100 s across sessions with no code change (BASELINE.md), so
+    every wall number this script prints carries the rate next to it."""
+    from ribca_tpu.utils.wire import probe, probe_line
+
+    try:
+        r = probe()
+        print(probe_line(r), file=sys.stderr)
+        return r["mb_per_s"]
+    except Exception as exc:
+        print(f"wire probe failed: {exc!r}", file=sys.stderr)
+        return None
+
+
 def main() -> int:
     marker_path, img_path, mask_path, types_path = fixture()
     models_dir = weights_dir()
+    wire0 = wire_rate()
 
     cold, _, rd = once(marker_path, img_path, mask_path, models_dir, "cold")
     shutil.rmtree(os.path.dirname(rd), ignore_errors=True)
@@ -162,12 +192,14 @@ def main() -> int:
                               "warm")
     acc2, _ = planted_accuracy(rd, types_path)
 
+    wire1 = wire_rate()
     stages = {k: v for k, v in trace.items()
               if isinstance(v, float) and v >= 0.5}
-    print(f"whole-slide 12288^2 x7, {n} cells: warm {warm:.0f}s "
+    print(f"whole-slide {SIZE}^2 x7, {n} cells: warm {warm:.0f}s "
           f"({n / warm:,.0f} cells/s), in-process warm {hot:.0f}s "
           f"({n / hot:,.0f} cells/s, server scenario), cold {cold:.0f}s, "
-          f"planted accuracy {acc:.3f}/{acc2:.3f}")
+          f"planted accuracy {acc:.3f}/{acc2:.3f}, "
+          f"wire {wire0}/{wire1} MB/s (start/end)")
     for k, v in sorted(stages.items(), key=lambda kv: -kv[1]):
         print(f"  {k}: {v:.1f}s (in-process "
               f"{hot_trace.get(k, 0.0):.1f}s)")

@@ -259,6 +259,62 @@ def test_colorize_prefetch_arg_mismatch_falls_back(workdir, fixture_paths):
     assert (rd / "m_confidence_0.png").exists()
 
 
+def test_plots_prefetch_matches_direct(workdir, fixture_paths):
+    """plots_prefetch + the normal generate_heatmap/cell_type_composition
+    calls produce byte-identical figures to the direct calls, rendered
+    once (the prefetch thread's output is reused, not re-rendered)."""
+    img_path, mask_path, marker_file = fixture_paths
+    outs = {}
+    for tag, prefetch in (("direct", False), ("pre", True)):
+        main_dir = workdir / f"ppf_{tag}"
+        main_dir.mkdir()
+        csv = str(main_dir / "images.csv")
+        write_manifest([(img_path, mask_path)], csv)
+        cfg = AnnotatorConfig(
+            marker_file=marker_file, csv_file=csv, main_dir=str(main_dir),
+            batch_id="p", infer=False, dtype="float32",
+        )
+        ann = Annotator(cfg, models_dir=str(workdir / "nomodels"))
+        ann.preprocess()
+        ann.predict()
+        if prefetch:
+            ann.plots_prefetch(heatmap_integrate=True)
+        ann.generate_heatmap(integrate=True)
+        ann.cell_type_composition()
+        rd = main_dir / "results"
+        outs[tag] = {
+            name: (rd / name).read_bytes()
+            for name in ("p_Integrated_heatmap.png",
+                         "p_cell-type_composition_0.png")
+        }
+        assert ann._plots_thread is None
+        if prefetch:
+            assert ("heatmap", True) in ann._plots_done
+            assert ("composition", True, False) in ann._plots_done
+    assert outs["direct"] == outs["pre"]
+
+
+def test_plots_prefetch_arg_mismatch_rerenders(workdir, fixture_paths):
+    """generate_heatmap with args the prefetch did NOT cover renders the
+    missing figure itself (per-image heatmaps after an integrated-only
+    prefetch)."""
+    img_path, mask_path, marker_file = fixture_paths
+    main_dir = workdir / "ppf_mismatch"
+    main_dir.mkdir()
+    csv = str(main_dir / "images.csv")
+    write_manifest([(img_path, mask_path)], csv)
+    cfg = AnnotatorConfig(
+        marker_file=marker_file, csv_file=csv, main_dir=str(main_dir),
+        batch_id="q", infer=False, dtype="float32",
+    )
+    ann = Annotator(cfg, models_dir=str(workdir / "nomodels"))
+    ann.preprocess()
+    ann.predict()
+    ann.plots_prefetch(heatmap_integrate=True)
+    ann.generate_heatmap(integrate=False)  # not covered by the prefetch
+    assert (main_dir / "results" / "q_heatmap_0.png").exists()
+
+
 def test_neighborhood_reuses_region_counts(ran_annotator):
     """After tissue_region_analysis the neighborhood matrices come from
     the cached fused-pass counts and must equal a fresh kNN computation
