@@ -673,6 +673,20 @@ class Annotator:
             return
         import threading
 
+        # import the whole figure stack HERE, on the caller's thread,
+        # before spawning: a first import of seaborn/matplotlib on the
+        # background thread can deadlock against the main thread's own
+        # first imports (sklearn/scipy in the concurrently-running
+        # region stage) through Python's per-module import locks —
+        # observed as a silent hang in a fresh-process CLI run (the
+        # pytest suite never hit it because earlier tests had already
+        # imported everything)
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot  # noqa: F401
+        import seaborn  # noqa: F401
+
         self._plots_err = None
         jobs = [
             ("heatmap", heatmap_integrate),

@@ -142,6 +142,19 @@ def stage_image(image, mask, config, mesh):
     extents = cell_extents(
         mask, prefer_native=getattr(config, "use_native_scanner", True)
     )
+    # FORCE the transfers to completion here, on the caller's thread.
+    # Measured (scripts/diagnose_overlap.py, BASELINE.md r5): a bare
+    # async device_put over the tunneled link defers the actual wire
+    # transfer until a consumer program needs it, so the batch pipeline's
+    # decode-ahead staging produced ZERO wire/compute overlap — warm
+    # cohort predict equaled the perfect serial sum, with upload 51% of
+    # it — while an explicitly forced put on a worker thread overlaps
+    # compute at ~100% efficiency. The Annotator stages on the
+    # decode-ahead thread, so this wait rides concurrently with the
+    # previous image's ensemble; on non-tunneled hosts transfers are
+    # eager and this is a no-op wait.
+    img_dev.block_until_ready()
+    mask_dev.block_until_ready()
     return StagedImage(img_dev, mask_dev, mask, extents, (h, w), c)
 
 

@@ -115,15 +115,24 @@ def prenorm_cache_budget(config, mesh) -> int:
     return _FALLBACK_CACHE_BYTES
 
 
-def _prefetch_spans(image, spans):
+def _prefetch_spans(image, spans, stage=None):
     """Yield ``image[:, lo:hi]`` for each (lo, hi) span, decoding one span
     ahead on a host thread so IO overlaps device work (SURVEY §5 "host
-    pipeline overlap" — the reference reads whole pages synchronously)."""
+    pipeline overlap" — the reference reads whole pages synchronously).
+
+    ``stage`` (optional) runs on the SAME worker thread over each decoded
+    span — band callers pass pad+``device_put``+``block_until_ready``
+    there, because a bare async device_put over the tunneled link defers
+    the actual wire transfer until a consumer program needs it
+    (scripts/diagnose_overlap.py): uploads issued on the consuming thread
+    serialize with band compute, while a forced put on this thread
+    overlaps it at ~100% efficiency (BASELINE.md r5)."""
     from concurrent.futures import ThreadPoolExecutor
 
     def decode(span):
         lo, hi = span
-        return np.asarray(image[:, lo:hi])
+        cur = np.asarray(image[:, lo:hi])
+        return stage(cur) if stage is not None else cur
 
     with ThreadPoolExecutor(max_workers=1) as pool:
         pending = pool.submit(decode, spans[0]) if spans else None
@@ -225,13 +234,20 @@ def compute_global_norm_stats(image, config, band_rows: int):
         (max(s - halo, 0), min(min(s + band_rows, h) + halo, h))
         for s in starts
     ]
-    for s, raw in zip(starts, _prefetch_spans(image, spans)):
+    def stage(raw):
+        # upload in the source dtype (half the tunnel bytes of f32;
+        # band_prenorm casts on device), pad + put + FORCE on the
+        # prefetch thread so the wire overlaps the previous band's stats
+        d = jnp.asarray(
+            _pad_cols(_pad_rows(raw, in_rows, mode="symmetric"), wb)
+        )
+        d.block_until_ready()
+        return d
+
+    for s, band_dev in zip(starts, _prefetch_spans(image, spans, stage)):
         e = min(s + band_rows, h)
         lo = max(s - halo, 0)
-        # upload in the source dtype (half the tunnel bytes of f32);
-        # band_prenorm casts on device
-        band = _pad_cols(_pad_rows(raw, in_rows, mode="symmetric"), wb)
-        pre = band_prenorm(jnp.asarray(band), blur=float(config.blur))
+        pre = band_prenorm(band_dev, blur=float(config.blur))
         # fixed-length interior slice (pad rows of the short bottom band
         # are symmetric duplicates, masked out of the histogram) — the
         # tail band reuses the SAME compiled stats program
@@ -343,10 +359,17 @@ def prenorm_cached(image, config, band_rows: int, pad_extra: int = 0,
         pre = band_prenorm(x, blur=blur)
         cache = _insert_band(cache, pre[:, halo : halo + (e - s)], s)
 
+    def stage(arr):
+        # canonical width: pad columns on host (symmetric), upload once,
+        # FORCED on the prefetch thread — band i+1's wire time rides
+        # behind band i's prenorm compute (see _prefetch_spans)
+        d = jnp.asarray(_pad_cols(arr, wb))
+        d.block_until_ready()
+        return d
+
     with trace_stage(tracer, "device.prenorm.bands", quiet=True):
-        for i, decoded in enumerate(_prefetch_spans(image, spans)):
-            # canonical width: pad columns on host (symmetric), upload once
-            raw[i] = jnp.asarray(_pad_cols(np.asarray(decoded), wb))
+        for i, decoded in enumerate(_prefetch_spans(image, spans, stage)):
+            raw[i] = decoded
             if i >= 1:
                 prenorm_one(i - 1)
                 if i >= 2:
@@ -588,7 +611,24 @@ def run_image_tiled(
                 spans.append(
                     (max(s - halo, 0), min(e + patch_size + halo, h))
                 )
-            raw_iter = _prefetch_spans(image, spans)
+
+            def stage_band(arr):
+                # pad + put + FORCE on the prefetch thread: the next
+                # band's wire time overlaps this band's extract+ensemble
+                # (see _prefetch_spans); normalize=False keeps the host
+                # array — its per-band slicing is span-dependent
+                if not config.normalize:
+                    return arr
+                d = jax.device_put(
+                    jnp.asarray(_pad_cols(
+                        _pad_rows(arr, in_rows, mode="symmetric"), wb
+                    )),
+                    rep,
+                )
+                d.block_until_ready()
+                return d
+
+            raw_iter = _prefetch_spans(image, spans, stage_band)
 
         for b in cell_bands:
             s = b * band_rows
@@ -596,16 +636,7 @@ def run_image_tiled(
             # extraction rows [s, e + patch), prenorm needs halo context
             lo = max(s - halo, 0)
             if config.normalize:
-                raw = next(raw_iter)
-                pre = band_prenorm(
-                    jax.device_put(
-                        jnp.asarray(_pad_cols(
-                            _pad_rows(raw, in_rows, mode="symmetric"), wb
-                        )),
-                        rep,
-                    ),
-                    blur=float(config.blur),
-                )
+                pre = band_prenorm(next(raw_iter), blur=float(config.blur))
                 # scale + min shift fuse into the window kernel; the
                 # one-window pad is applied ONCE per band, not per chunk
                 band_img = _pad_band(

@@ -114,6 +114,35 @@ def main() -> int:
 
     t_threaded = timed(threaded)
 
+    # the PIPELINE's puts carry a NamedSharding (replicated on the mesh,
+    # engine/pipeline.stage_image) — device_put with an explicit
+    # sharding takes a different PJRT path than the bare call above; if
+    # THIS variant fails to overlap, the pipeline's missing overlap is
+    # explained even though the link itself can
+    from ribca_tpu.parallel.mesh import get_mesh, replicated_sharding
+
+    rep = replicated_sharding(get_mesh())
+
+    def one_put_sharded():
+        jax.device_put(x_host, rep).block_until_ready()
+
+    one_put_sharded()
+    t_puts_sh = timed(lambda: [one_put_sharded() for _ in range(N)])
+
+    def threaded_sharded():
+        th = threading.Thread(
+            target=lambda: [one_put_sharded() for _ in range(N)]
+        )
+        th.start()
+        for _ in range(N):
+            one_compute()
+        th.join()
+
+    t_threaded_sh = timed(threaded_sharded)
+    print(f"sharded puts x{N}: {t_puts_sh:.2f}s; threaded with compute: "
+          f"{t_threaded_sh:.2f}s (ideal {max(t_puts_sh, t_computes):.2f}, "
+          f"additive {t_puts_sh + t_computes:.2f})")
+
     print(f"puts x{N} ({PUT_MB} MB): {t_puts:.2f}s "
           f"({N * PUT_MB / t_puts:.0f} MB/s)")
     print(f"computes x{N}: {t_computes:.2f}s")
