@@ -453,6 +453,8 @@ def run_image_tiled(
     sh = cell_sharding_axis1(mesh)
 
     patch_size = int(40 * config.cell_size / 30.0)
+    if band_rows is None and getattr(config, "tiled_band_rows", 0):
+        band_rows = int(config.tiled_band_rows)
     auto_rows = band_rows is None
     if auto_rows:
         budget = getattr(config, "device_image_budget_bytes", 1 << 31)

@@ -88,6 +88,11 @@ class AnnotatorConfig:
     # so band decode overlaps upload/compute inside one slide (the banded
     # cache mode keeps the result bit-identical to the single-shot path)
     stream_decode_bytes: int = 64 << 20
+    # banded pipeline row-band height override; 0 = auto (sized from the
+    # device budget, then bounded below by the per-upload byte floor —
+    # tunneled links charge a large fixed cost per device_put, so many
+    # small band uploads are overhead-dominated; engine/tiled.py)
+    tiled_band_rows: int = 0
     # persistent XLA compile cache (cold-start compiles are expensive,
     # minutes on remote-compiled TPU); "" disables
     compile_cache_dir: str = "~/.cache/ribca_tpu/xla"
