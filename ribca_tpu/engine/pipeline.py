@@ -152,7 +152,11 @@ def stage_image(image, mask, config, mesh):
     # compute at ~100% efficiency. The Annotator stages on the
     # decode-ahead thread, so this wait rides concurrently with the
     # previous image's ensemble; on non-tunneled hosts transfers are
-    # eager and this is a no-op wait.
+    # eager and this is a no-op wait. NOTE this forcing is right at
+    # per-IMAGE granularity only — the banded per-BAND staging
+    # (engine/tiled.py) measured the opposite (async wins, A/B in
+    # BASELINE.md r5): blocking at band cadence makes the staging
+    # thread wait out the whole enqueued device queue every band.
     img_dev.block_until_ready()
     mask_dev.block_until_ready()
     return StagedImage(img_dev, mask_dev, mask, extents, (h, w), c)

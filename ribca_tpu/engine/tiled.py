@@ -41,6 +41,7 @@ single-shot path automatically (engine/pipeline.py).
 from __future__ import annotations
 
 import functools
+import os
 from collections import deque
 
 import jax
@@ -121,12 +122,15 @@ def _prefetch_spans(image, spans, stage=None):
     pipeline overlap" — the reference reads whole pages synchronously).
 
     ``stage`` (optional) runs on the SAME worker thread over each decoded
-    span — band callers pass pad+``device_put``+``block_until_ready``
-    there, because a bare async device_put over the tunneled link defers
-    the actual wire transfer until a consumer program needs it
-    (scripts/diagnose_overlap.py): uploads issued on the consuming thread
-    serialize with band compute, while a forced put on this thread
-    overlaps it at ~100% efficiency (BASELINE.md r5)."""
+    span — band callers pad+``device_put`` there so the upload is issued
+    off the consuming thread. The puts stay ASYNC by default: a 500k
+    whole-slide A/B (BASELINE.md r5) measured async staging at
+    prenorm.bands 11.6-29.9 s vs 58.7 s when each band blocked on
+    ``block_until_ready`` — over the tunneled link the h2d completion
+    event appears to order behind already-enqueued device programs, so
+    blocking per band serializes wire with compute exactly where the
+    in-flight band pipeline should hide it. ``RIBCA_STAGE_FORCE=1``
+    restores the forced wait for A/B timing."""
     from concurrent.futures import ThreadPoolExecutor
 
     def decode(span):
@@ -241,7 +245,8 @@ def compute_global_norm_stats(image, config, band_rows: int):
         d = jnp.asarray(
             _pad_cols(_pad_rows(raw, in_rows, mode="symmetric"), wb)
         )
-        d.block_until_ready()
+        if os.environ.get("RIBCA_STAGE_FORCE", "0") == "1":
+            d.block_until_ready()
         return d
 
     for s, band_dev in zip(starts, _prefetch_spans(image, spans, stage)):
@@ -362,9 +367,11 @@ def prenorm_cached(image, config, band_rows: int, pad_extra: int = 0,
     def stage(arr):
         # canonical width: pad columns on host (symmetric), upload once,
         # FORCED on the prefetch thread — band i+1's wire time rides
-        # behind band i's prenorm compute (see _prefetch_spans)
+        # behind band i's prenorm compute (see _prefetch_spans;
+        # RIBCA_STAGE_FORCE=0 restores the async put for A/B timing)
         d = jnp.asarray(_pad_cols(arr, wb))
-        d.block_until_ready()
+        if os.environ.get("RIBCA_STAGE_FORCE", "0") == "1":
+            d.block_until_ready()
         return d
 
     with trace_stage(tracer, "device.prenorm.bands", quiet=True):
@@ -627,7 +634,8 @@ def run_image_tiled(
                     )),
                     rep,
                 )
-                d.block_until_ready()
+                if os.environ.get("RIBCA_STAGE_FORCE", "0") == "1":
+                    d.block_until_ready()
                 return d
 
             raw_iter = _prefetch_spans(image, spans, stage_band)
