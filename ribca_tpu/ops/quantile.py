@@ -57,6 +57,11 @@ import numpy as np
 # real slides in ~5-7 O(N) passes
 SELECT_BINS = 256
 MAX_ROUNDS = 28
+# one-dispatch device loop HBM guard (orderstats_select): full-C single
+# dispatch up to this slab size; above it, channel chunks of the byte
+# size below (the loop program peaks at ~2.4x its argument slab)
+SELECT_LOOP_SLAB_MAX = 5 << 30
+SELECT_LOOP_CHUNK_BYTES = 2 << 30
 
 
 def _bin_hist(idx, inr, bins: int):
@@ -391,16 +396,36 @@ def orderstats_select(x, ranks, n_valid: int, valid_h, valid_w,
     out = np.empty((c, len(ranks)), np.float32)
 
     if _use_device_loop():
-        lo0 = jnp.asarray(np.asarray(ch_min, np.float32))
-        hi0 = jnp.asarray(np.nextafter(
+        lo0_np = np.asarray(ch_min, np.float32)
+        hi0_np = np.nextafter(
             np.asarray(ch_max, np.float32), np.float32(np.inf)
-        ).astype(np.float32))
-        vals, done, failed = _select_device_loop(
-            x, jnp.int32(ranks[0]), jnp.int32(ranks[-1]), lo0, hi0,
-            valid_h, valid_w, bins=bins, max_rounds=MAX_ROUNDS,
-        )
-        done = np.asarray(done)
-        vals = np.asarray(vals)
+        ).astype(np.float32)
+        # HBM guard: the one-dispatch loop materializes ~2.4x the slab
+        # (the (C,H,W) f32 argument + an i32 bin-index temp of the same
+        # extent) — fine at 12288²x7 (4.2 GB slab) but at 16384²x7 the
+        # 7.6 GB slab pushed the program to 16.4 GB next to the resident
+        # prenorm cache and OOMed (observed on v5e, 1M-cell validation).
+        # Above the slab threshold, run the SAME loop over channel
+        # chunks sized to ~2 GB each: identical per-channel walks, a
+        # handful of extra dispatches, bounded temps.
+        hw_bytes = int(x.shape[1]) * int(x.shape[2]) * 4
+        slab = c * hw_bytes
+        per = (c if slab <= SELECT_LOOP_SLAB_MAX
+               else max(1, int(SELECT_LOOP_CHUNK_BYTES // hw_bytes)))
+        vals_parts, done_parts = [], []
+        for s in range(0, c, per):
+            vs, ds, _fs = _select_device_loop(
+                x[s:s + per], jnp.int32(ranks[0]), jnp.int32(ranks[-1]),
+                jnp.asarray(lo0_np[s:s + per]),
+                jnp.asarray(hi0_np[s:s + per]),
+                valid_h, valid_w, bins=bins, max_rounds=MAX_ROUNDS,
+            )
+            vals_parts.append(np.asarray(vs))
+            done_parts.append(np.asarray(ds))
+        done = np.concatenate(done_parts) if done_parts else np.zeros(
+            (0,), bool)
+        vals = np.concatenate(vals_parts) if vals_parts else np.zeros(
+            (0, 2), np.float32)
         for j in range(len(ranks)):
             out[:, j] = vals[:, 0 if ranks[j] == ranks[0] else 1]
         pending = np.flatnonzero(~done)

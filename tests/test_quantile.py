@@ -241,6 +241,30 @@ def test_device_loop_matches_host(monkeypatch):
             )
 
 
+def test_device_loop_channel_chunking_matches(monkeypatch):
+    """The HBM guard that splits the one-dispatch loop into channel
+    chunks (the 16384²x7 OOM fix) must be invisible in the results:
+    forcing 1-channel chunks on the corpus returns bitwise-identical
+    statistics to the full-C dispatch."""
+    from ribca_tpu.ops import quantile as q
+
+    monkeypatch.setenv("RIBCA_SELECT_DEVICE_LOOP", "1")
+    full = {}
+    for name, x, vh, vw in _cases():
+        xm = _masked(x, vh, vw)
+        full[name] = q.exact_percentile(
+            jnp.asarray(xm), 99.8, vh * vw, vh, vw
+        )
+    monkeypatch.setattr(q, "SELECT_LOOP_SLAB_MAX", 0)
+    monkeypatch.setattr(q, "SELECT_LOOP_CHUNK_BYTES", 1)  # 1 ch/chunk
+    for name, x, vh, vw in _cases():
+        xm = _masked(x, vh, vw)
+        chunked = q.exact_percentile(
+            jnp.asarray(xm), 99.8, vh * vw, vh, vw
+        )
+        np.testing.assert_array_equal(chunked, full[name], err_msg=name)
+
+
 def test_device_loop_ulp_dense(monkeypatch):
     """Ulp-dense convergence through the device loop (same corpus as
     the host-loop regression; the f32 outward-rounded edges must not
