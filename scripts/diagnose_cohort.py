@@ -124,7 +124,6 @@ def main() -> int:
     # -- standalone stage measurements -------------------------------------
     pairs = read_manifest(csv_path)
     img_path, mask_path = pairs[0]
-    mesh = None
     a = Annotator(AnnotatorConfig(
         marker_file=marker_path, csv_file=csv_path,
         main_dir=tempfile.mkdtemp(prefix="ribca_diag_m_"), batch_id="d",

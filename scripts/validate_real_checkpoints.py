@@ -35,7 +35,10 @@ Drive opener. Use ``--fixture-dir`` to point the downloader at a
 directory of ``.pth`` files instead of the network.
 
 Exit codes: 0 = all present + mirror parity PASS; 2 = checkpoints
-missing (report says which); 1 = parity FAIL.
+missing (report says which); 1 = parity FAIL. With only converted
+``.npz`` weights on disk (no ``.pth`` for the torch mirror) the kit
+still runs both Annotator dtypes and reports the real-weight bf16
+agreement, marking the verdict ``NPZ_ONLY`` (exit 0).
 """
 
 from __future__ import annotations
@@ -262,7 +265,7 @@ def _agreement(labels_a, conf_a, labels_b, conf_b) -> dict:
 
 
 def run_scenario(name: str, markers: list[str], *, work_dir, models_dir,
-                 size, n_cells, infer, blur=0.3, amax=99.8,
+                 size, n_cells, infer, mirror=True, blur=0.3, amax=99.8,
                  confidence=0.3) -> dict:
     print(f"[{name}] building eval fixture ({size}x{size}, "
           f"{n_cells} cells, {len(markers)} markers)", file=sys.stderr)
@@ -289,22 +292,23 @@ def run_scenario(name: str, markers: list[str], *, work_dir, models_dir,
     print(f"[{name}] annotator bf16 ({time.perf_counter() - t0:.1f}s)",
           file=sys.stderr)
 
-    t0 = time.perf_counter()
-    labels_t, conf_t, _ = mirror_annotate(
-        img, mask, parser, models_dir, blur=blur, amax=amax,
-        confidence=confidence, cell_type_confidence={}, infer=infer,
-    )
-    print(f"[{name}] torch mirror ({time.perf_counter() - t0:.1f}s)",
-          file=sys.stderr)
-
-    return {
+    out = {
         "markers": markers,
         "panels": panels,
-        "torch_mirror_vs_f32": _agreement(labels_f32, conf_f32,
-                                          labels_t, conf_t),
         "bf16_vs_f32": _agreement(labels_f32, conf_f32,
                                   labels_bf16, conf_bf16),
     }
+    if mirror:
+        t0 = time.perf_counter()
+        labels_t, conf_t, _ = mirror_annotate(
+            img, mask, parser, models_dir, blur=blur, amax=amax,
+            confidence=confidence, cell_type_confidence={}, infer=infer,
+        )
+        print(f"[{name}] torch mirror ({time.perf_counter() - t0:.1f}s)",
+              file=sys.stderr)
+        out["torch_mirror_vs_f32"] = _agreement(labels_f32, conf_f32,
+                                                labels_t, conf_t)
+    return out
 
 
 # -- entry ------------------------------------------------------------------
@@ -405,18 +409,20 @@ def main(argv=None) -> int:
               f"report -> {args.out}", file=sys.stderr)
         return 2
 
-    # the mirror loads .pth directly; conversion must have left them
+    # the torch mirror loads .pth directly; with only the converted .npz
+    # store on disk the kit still runs both Annotator dtypes and reports
+    # the real-weight bf16 agreement — the mirror diff is marked skipped
     pth_missing = [
         n for n in CHECKPOINT_URLS
         if not os.path.exists(os.path.join(models_dir, n))
     ]
+    mirror_ok = not pth_missing
     if pth_missing:
-        report["verdict"] = "NPZ_ONLY"
-        with open(args.out, "w") as f:
-            json.dump(report, f, indent=2)
-        print(f".pth absent for torch mirror: {pth_missing}",
-              file=sys.stderr)
-        return 2
+        report["mirror_skipped"] = (
+            f".pth absent ({pth_missing}); npz-only run — torch mirror "
+            "diff unavailable"
+        )
+        print(report["mirror_skipped"], file=sys.stderr)
 
     work_dir = os.path.join(
         os.environ.get("RIBCA_REALCK_DIR", "/tmp/ribca_realck"))
@@ -433,21 +439,29 @@ def main(argv=None) -> int:
         res = run_scenario(
             name, markers, work_dir=work_dir, models_dir=models_dir,
             size=args.size, n_cells=args.cells, infer=infer,
+            mirror=mirror_ok,
         )
-        scenarios_ok = res["torch_mirror_vs_f32"]["label_agreement"] == 1.0
-        res["pass"] = scenarios_ok
-        ok = ok and scenarios_ok
+        bf = res["bf16_vs_f32"]
+        line = (
+            f"[{name}] bf16-vs-f32 {bf['label_agreement']:.4f} "
+            f"({bf['n_flips']} flips, conf |d| {bf['conf_max_delta']:.2g})"
+        )
+        if mirror_ok:
+            tm = res["torch_mirror_vs_f32"]
+            scenario_ok = tm["label_agreement"] == 1.0
+            res["pass"] = scenario_ok
+            ok = ok and scenario_ok
+            line = (
+                f"[{name}] mirror agreement {tm['label_agreement']:.4f} "
+                f"({tm['n_flips']} flips, conf |d| "
+                f"{tm['conf_max_delta']:.2g}); " + line.split("] ", 1)[1]
+            )
         report.setdefault("scenarios", {})[name] = res
-        tm, bf = res["torch_mirror_vs_f32"], res["bf16_vs_f32"]
-        print(
-            f"[{name}] mirror agreement {tm['label_agreement']:.4f} "
-            f"({tm['n_flips']} flips, conf |d| {tm['conf_max_delta']:.2g})"
-            f"; bf16-vs-f32 {bf['label_agreement']:.4f} "
-            f"({bf['n_flips']} flips, conf |d| {bf['conf_max_delta']:.2g})",
-            file=sys.stderr,
-        )
+        print(line, file=sys.stderr)
 
-    report["verdict"] = "PASS" if ok else "FAIL"
+    report["verdict"] = (
+        ("PASS" if ok else "FAIL") if mirror_ok else "NPZ_ONLY"
+    )
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)
     print(f"{report['verdict']} — report -> {args.out}", file=sys.stderr)

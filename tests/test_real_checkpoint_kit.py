@@ -87,6 +87,44 @@ def test_kit_offline_end_to_end(tmp_path, fixture_checkpoints, scenario,
         ]
 
 
+def test_kit_npz_only_reports_agreement(tmp_path, fixture_checkpoints,
+                                        monkeypatch):
+    """With only converted .npz weights (no .pth for the torch mirror)
+    the kit still runs both dtypes and reports the real-weight bf16
+    agreement, with verdict NPZ_ONLY and exit 0."""
+    import shutil
+
+    monkeypatch.setenv("RIBCA_REALCK_DIR", str(tmp_path / "work"))
+    models_dir = tmp_path / "models"
+
+    # convert fixtures to npz, then drop the .pth files
+    from ribca_tpu.models.download import _convert_all
+
+    models_dir.mkdir()
+    for f in fixture_checkpoints.iterdir():
+        shutil.copy(f, models_dir / f.name)
+    _convert_all(str(models_dir))
+    for f in models_dir.glob("*.pth"):
+        f.unlink()
+
+    report_path = tmp_path / "report.json"
+    rc = main([
+        "--models-dir", str(models_dir),
+        "--skip-download",
+        "--size", "160", "--cells", "24",
+        "--scenario", "reference",
+        "--out", str(report_path),
+    ])
+    with open(report_path) as f:
+        report = json.load(f)
+    assert rc == 0, report
+    assert report["verdict"] == "NPZ_ONLY"
+    assert "mirror_skipped" in report
+    res = report["scenarios"]["reference_markers"]
+    assert "torch_mirror_vs_f32" not in res
+    assert 0.0 <= res["bf16_vs_f32"]["label_agreement"] <= 1.0
+
+
 def test_kit_reports_missing_checkpoints(tmp_path):
     """Offline with an empty fixture dir: the kit must exit 2 and name
     every missing file — the 'what do I still need' mode."""
