@@ -522,6 +522,10 @@ class Annotator:
 
     def merge_by_voting(self) -> None:
         self._nbhd_counts = None  # annotations change -> counts stale
+        # prefetched figures rendered from the previous annotations are
+        # stale too: join any in-flight render and force re-rendering
+        self._plots_join()
+        self._plots_done.clear()
         self.annotations, self.confidence = [], []
         for rec in self.records:
             if VOTE_STATS_KEY in rec.panel_probs:

@@ -240,8 +240,9 @@ def compute_global_norm_stats(image, config, band_rows: int):
     ]
     def stage(raw):
         # upload in the source dtype (half the tunnel bytes of f32;
-        # band_prenorm casts on device), pad + put + FORCE on the
-        # prefetch thread so the wire overlaps the previous band's stats
+        # band_prenorm casts on device); pad + async put issued on the
+        # prefetch thread (see _prefetch_spans for the measured
+        # async-vs-forced A/B)
         d = jnp.asarray(
             _pad_cols(_pad_rows(raw, in_rows, mode="symmetric"), wb)
         )
@@ -366,9 +367,9 @@ def prenorm_cached(image, config, band_rows: int, pad_extra: int = 0,
 
     def stage(arr):
         # canonical width: pad columns on host (symmetric), upload once,
-        # FORCED on the prefetch thread — band i+1's wire time rides
-        # behind band i's prenorm compute (see _prefetch_spans;
-        # RIBCA_STAGE_FORCE=0 restores the async put for A/B timing)
+        # issued ASYNC on the prefetch thread — band i+1's wire rides
+        # behind band i's prenorm compute (see _prefetch_spans for the
+        # measured async-vs-forced A/B; RIBCA_STAGE_FORCE=1 forces)
         d = jnp.asarray(_pad_cols(arr, wb))
         if os.environ.get("RIBCA_STAGE_FORCE", "0") == "1":
             d.block_until_ready()
@@ -622,7 +623,7 @@ def run_image_tiled(
                 )
 
             def stage_band(arr):
-                # pad + put + FORCE on the prefetch thread: the next
+                # pad + async put on the prefetch thread: the next
                 # band's wire time overlaps this band's extract+ensemble
                 # (see _prefetch_spans); normalize=False keeps the host
                 # array — its per-band slicing is span-dependent
